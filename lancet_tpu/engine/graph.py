@@ -1,0 +1,965 @@
+"""Colored de Bruijn graph: build, cleanup, anchoring, path cover, and
+per-path variant extraction (ref: src/Graph.{hh,cc}).
+
+This is the oracle implementation — behavior-exact with the reference,
+including its quirks (noted inline). The TPU engine mirrors these stages
+as batched kernels and is validated against this module.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .align import global_align_aff
+from .mer import F, R, canonical
+from .node import (FF, FR, RF, RR, FWD, REV, NML, TMR, Edge, Node,
+                   edgedir_dest, edgedir_start, fliplink, flipme)
+from .path import Path
+from .seqs import (find_tandems, hamming_distance, is_almost_repeat, is_dna,
+                   rc_str, seq_above_qual)
+from .transcript import Transcript
+from .variant import Variant
+
+CODE_MAPPED = "M"
+CODE_BASTARD = "B"
+REF_LABEL = 3  # ref pseudo-read label (ref: Graph.hh:58 `#define REF 3`)
+
+WHITE, GREY, BLACK = 1, 2, 3
+
+
+@dataclass
+class ReadInfo:
+    """(ref: src/ReadInfo.hh)"""
+
+    label: int
+    set_name: str
+    readname: str
+    seq: str
+    qv: str
+    code: str
+    strand: int
+    mate_order: int
+    bx: str
+    hp: int
+    mateid: int = -1
+    trm5: int = 0
+    trm3: int = 0
+    isjunk: bool = False
+
+
+class Graph:
+    def __init__(self, cfg, filters, vdb):
+        self.cfg = cfg
+        self.filters = filters
+        self.vdb = vdb
+        self.K = cfg.min_k
+        self.MAX_LINK_LEN = cfg.max_link_len(self.K)
+        self.LR_MODE = cfg.lr_mode
+        self.MIN_QUAL_TRIM = cfg.min_qual_trim
+        self.MIN_QUAL_CALL = cfg.min_qual_call
+        self.DFS_LIMIT = cfg.dfs_limit
+        self.COV_THRESHOLD = cfg.cov_threshold
+        self.MIN_COV_RATIO = cfg.min_cov_ratio
+        self.LOW_COV_THRESHOLD = cfg.low_cov_threshold
+        self.MAX_TIP_LEN = cfg.max_tip_len
+        self.MAX_INDEL_LEN = cfg.max_indel_len
+        self.MAX_MISMATCH = cfg.max_mismatch
+        self.verbose = cfg.verbose
+
+        self.nodes: dict[str, Node] = {}
+        self.totalreadbp = 0
+        self.source: Node | None = None
+        self.sink: Node | None = None
+        self.ref = None
+        self.is_ref_added = False
+        self.readid2info: list[ReadInfo] = []
+        self.read_cycles = 0
+        self.bx_table_tmr: dict[str, set[str]] = {}
+        self.bx_table_nml: dict[str, set[str]] = {}
+
+    # ------------------------------------------------------------------
+    def set_k(self, k: int) -> None:
+        self.K = k
+        self.MAX_LINK_LEN = self.cfg.max_link_len(k)
+
+    def clear(self, full: bool) -> None:
+        """(ref: Graph.cc:29-60)"""
+        if full:
+            self.readid2info = []
+            self.is_ref_added = False
+        self.totalreadbp = 0
+        self.nodes = {}
+        self.bx_table_tmr = {}
+        self.bx_table_nml = {}
+        self.source = None
+        self.sink = None
+        if self.ref is not None and full:
+            self.ref.clear()
+            self.ref = None
+
+    def node_iter(self):
+        """Node visitation order.  The reference iterates a libstdc++
+        unordered_map; we use insertion order (deterministic).  Parity risk
+        is limited to multi-component tie-break cases; see DESIGN.md."""
+        return list(self.nodes.values())
+
+    def get_node(self, nodeid: str) -> Node | None:
+        return self.nodes.get(nodeid)
+
+    def get_edge_node(self, edge: Edge) -> Node | None:
+        return self.nodes.get(edge.nodeid)
+
+    # ------------------------------------------------------------------
+    # reads
+    # ------------------------------------------------------------------
+    def add_read(self, set_name, readname, seq, qv, code, label, strand,
+                 mate_order, bx, hp) -> int:
+        rid = len(self.readid2info)
+        self.readid2info.append(ReadInfo(label, set_name, readname, seq, qv,
+                                         code, strand, mate_order, bx, hp))
+        return rid
+
+    def add_alignment(self, set_name, readname, seq, qv, mate_id, code, label,
+                      strand, bx, hp) -> None:
+        rid = self.add_read(set_name, readname, seq, qv, code, label, strand,
+                            mate_id, bx, hp)
+        self.trim(rid, seq, qv)
+
+    def trim(self, readid: int, seq: str, qv: str) -> None:
+        """5'/3' low-quality/non-DNA trim points (ref: Graph.cc:355-384)."""
+        info = self.readid2info[readid]
+        ln = len(seq)
+        trim5 = 0
+        while trim5 < ln and (not is_dna(seq[trim5]) or ord(qv[trim5]) < self.MIN_QUAL_TRIM):
+            trim5 += 1
+        if trim5 < ln:
+            trim3 = 0
+            while trim3 < ln and (not is_dna(seq[ln - 1 - trim3]) or ord(qv[ln - 1 - trim3]) < self.MIN_QUAL_TRIM):
+                trim3 += 1
+            info.isjunk = False
+            for i in range(trim5, ln - trim3):
+                if not is_dna(seq[i]):
+                    info.isjunk = True
+                    break
+        else:
+            info.isjunk = True
+            trim3 = 0
+        info.trm5 = trim5
+        info.trm3 = trim3
+
+    def count_mapped_reads(self) -> int:
+        return sum(1 for r in self.readid2info if r.code == CODE_MAPPED)
+
+    def count_bastard_reads(self) -> int:
+        return sum(1 for r in self.readid2info if r.code == CODE_BASTARD)
+
+    # ------------------------------------------------------------------
+    # build (ref: Graph.cc:119-349, 530-589)
+    # ------------------------------------------------------------------
+    def add_bx_table(self, bx: str, mer: str, sample: int) -> None:
+        table = self.bx_table_tmr if sample == TMR else self.bx_table_nml
+        table.setdefault(mer, set()).add(bx)
+
+    def get_bx_set_at(self, start: int, end: int, seq: str, sample: int) -> str:
+        if start < 0 or end >= len(seq):
+            # C++ substr(pos>size) throws out_of_range, caught by processPath
+            raise IndexError("getBXsetAt out of range")
+        table = self.bx_table_tmr if sample == TMR else self.bx_table_nml
+        out: set[str] = set()
+        for i in range(start, end + 1):
+            cmer, _ = canonical(seq[i : i + self.K])
+            if cmer in table:
+                out |= table[cmer]
+        return ";".join(sorted(out)) if out else "."
+
+    def load_sequence(self, readid: int, seq: str, qv: str, is_ref: bool,
+                      trim5: int, strand: int) -> None:
+        """Stream consecutive canonical mer pairs into nodes/edges
+        (ref: Graph.cc:119-349)."""
+        K = self.K
+        if not is_ref:
+            self.totalreadbp += len(seq)
+
+        info = self.readid2info[readid]
+        sample = info.label
+        readmers: set[str] = set()
+
+        end = len(seq) - K
+        if end <= 0:
+            return
+
+        uc = vc = None
+        uc_ori = vc_ori = F
+        uc_qv = vc_qv = ""
+        unode = vnode = None
+
+        for offset in range(end):
+            if offset == 0:
+                uc, uc_ori = canonical(seq[0:K])
+                vc, vc_ori = canonical(seq[1 : 1 + K])
+                uc_qv = qv[0:K]
+                vc_qv = qv[1 : 1 + K]
+                if uc_ori == R:
+                    uc_qv = uc_qv[::-1]
+                if vc_ori == R:
+                    vc_qv = vc_qv[::-1]
+                unode = self.nodes.get(uc)
+                vnode = self.nodes.get(vc)
+            else:
+                uc, uc_ori, uc_qv, unode = vc, vc_ori, vc_qv, vnode
+                vc, vc_ori = canonical(seq[offset + 1 : offset + 1 + K])
+                vc_qv = qv[offset + 1 : offset + 1 + K]
+                if vc_ori == R:
+                    vc_qv = vc_qv[::-1]
+                vnode = self.nodes.get(vc)
+
+            if unode is None:
+                unode = Node(uc)
+                unode.min_qual = self.MIN_QUAL_CALL
+                unode.K = K
+                self.nodes[uc] = unode
+            if vnode is None:
+                vnode = Node(vc)
+                vnode.min_qual = self.MIN_QUAL_CALL
+                vnode.K = K
+                self.nodes[vc] = vnode
+
+            if sample == NML:
+                unode.is_normal = True
+                vnode.is_normal = True
+                unode.update_cov_status(ord("N"))
+                vnode.update_cov_status(ord("N"))
+
+            if seq_above_qual(uc_qv, self.MIN_QUAL_CALL) and seq_above_qual(vc_qv, self.MIN_QUAL_CALL):
+                if sample == TMR:
+                    unode.is_tumor = True
+                    vnode.is_tumor = True
+                    unode.update_cov_status(ord("T"))
+                    vnode.update_cov_status(ord("T"))
+
+            unode.add_mate_name(info.readname, info.mate_order)
+            vnode.add_mate_name(info.readname, info.mate_order)
+
+            if self.LR_MODE:
+                if offset == 0:
+                    if info.bx != "null":
+                        self.add_bx_table(info.bx, uc, sample)
+                        self.ref.add_bx(info.bx, uc, sample)
+                    if not unode.has_bx(info.bx, sample):
+                        unode.add_bx(info.bx, strand, sample)
+                        unode.add_hp(info.hp, sample)
+                if info.bx != "null":
+                    self.add_bx_table(info.bx, vc, sample)
+                    self.ref.add_bx(info.bx, vc, sample)
+                if not vnode.has_bx(info.bx, sample):
+                    vnode.add_bx(info.bx, strand, sample)
+                    vnode.add_hp(info.hp, sample)
+
+            if not is_ref:
+                if offset == 0:
+                    if not unode.has_overlapping_mate(info.readname, info.mate_order):
+                        unode.inc_cov(strand, sample)
+                        if self.LR_MODE:
+                            unode.update_cov_distr(unode.bx_cnt(strand, sample), uc_qv, strand, sample)
+                            unode.update_hp_cov_distr(unode.hp_cnt(0, sample), unode.hp_cnt(1, sample), unode.hp_cnt(2, sample), uc_qv, sample)
+                            self.ref.update_coverage(uc, unode.bx_cnt(strand, sample), strand, sample)
+                            self.ref.update_hp_coverage(uc, unode.hp_cnt(0, sample), unode.hp_cnt(1, sample), unode.hp_cnt(2, sample), sample)
+                        else:
+                            unode.update_cov_distr(int(unode.get_cov(strand, sample)), uc_qv, strand, sample)
+                            self.ref.update_coverage(uc, int(unode.get_cov(strand, sample)), strand, sample)
+                        if uc_ori == F:
+                            unode.add_read_start(readid, 0, trim5, F)
+                        else:
+                            unode.add_read_start(readid, K - 1, trim5, R)
+                if not vnode.has_overlapping_mate(info.readname, info.mate_order):
+                    vnode.inc_cov(strand, sample)
+                    if self.LR_MODE:
+                        vnode.update_cov_distr(vnode.bx_cnt(strand, sample), vc_qv, strand, sample)
+                        vnode.update_hp_cov_distr(vnode.hp_cnt(0, sample), vnode.hp_cnt(1, sample), vnode.hp_cnt(2, sample), vc_qv, sample)
+                        self.ref.update_coverage(vc, vnode.bx_cnt(strand, sample), strand, sample)
+                        self.ref.update_hp_coverage(vc, vnode.hp_cnt(0, sample), vnode.hp_cnt(1, sample), vnode.hp_cnt(2, sample), sample)
+                    else:
+                        vnode.update_cov_distr(int(vnode.get_cov(strand, sample)), vc_qv, strand, sample)
+                        self.ref.update_coverage(vc, int(vnode.get_cov(strand, sample)), strand, sample)
+
+            if uc_ori == F and vc_ori == F:
+                fdir, rdir = FF, RR
+            elif uc_ori == F and vc_ori == R:
+                fdir, rdir = FR, FR
+            elif uc_ori == R and vc_ori == F:
+                fdir, rdir = RF, RF
+            else:
+                fdir, rdir = RR, FF
+
+            readmers.add(uc)
+            if vc in readmers:
+                if readid > -1:
+                    self.read_cycles += 1
+
+            unode.add_edge(vc, fdir, readid)
+            vnode.add_edge(uc, rdir, readid)
+
+    def buildgraph(self, refinfo) -> None:
+        """(ref: Graph.cc:530-589)"""
+        self.ref = refinfo
+        if not self.is_ref_added:
+            qv = "K" * len(self.ref.rawseq)
+            self.add_read("ref", self.ref.hdr, self.ref.rawseq, qv, "R",
+                          REF_LABEL, FWD, 0, "null", 0)
+            self.is_ref_added = True
+
+        for i, info in enumerate(self.readid2info):
+            if info.isjunk:
+                continue
+            ln = len(info.seq)
+            t5, t3 = info.trm5, info.trm3
+            if t5 or t3:
+                seq = info.seq[t5 : ln - t3]
+                qv = info.qv[t5 : ln - t3]
+            else:
+                seq = info.seq
+                qv = info.qv
+            self.load_sequence(i, seq, qv, info.label == REF_LABEL, t5, info.strand)
+
+        for n in self.node_iter():
+            n.compute_min_cov()
+            n.mate1_name = sorted(set(n.mate1_name))
+            n.mate2_name = sorted(set(n.mate2_name))
+
+        self.ref.compute_coverage(TMR)
+        self.ref.compute_coverage(NML)
+
+    # ------------------------------------------------------------------
+    # cycle detection (ref: Graph.cc:593-681)
+    # ------------------------------------------------------------------
+    def has_cycle(self) -> bool:
+        if self.source is None or self.sink is None:
+            return False
+        for n in self.node_iter():
+            if n.is_special():
+                continue
+            n.color = WHITE
+        return self._cycle_dfs(self.source, F) or self._cycle_dfs(self.source, R)
+
+    def _cycle_dfs(self, start: Node, d: str) -> bool:
+        """Iterative emulation of hasCycleRec's recursion (Graph.cc:651-681)."""
+        # stack entries: (node, dir, edge index)
+        stack = [(start, d, 0)]
+        start.color = GREY
+        while stack:
+            node, nd, ei = stack[-1]
+            if ei >= len(node.edges):
+                node.color = BLACK
+                stack.pop()
+                continue
+            stack[-1] = (node, nd, ei + 1)
+            edge = node.edges[ei]
+            if not edge.isdir(nd):
+                continue
+            other = self.get_edge_node(edge)
+            if other is None or other.is_special():
+                continue
+            if other.color == GREY:
+                # unwind like the recursion would: remaining nodes keep color
+                for n2, _, _ in stack:
+                    n2.color = BLACK
+                return True
+            if other.color == WHITE:
+                other.color = GREY
+                stack.append((other, edge.destdir(), 0))
+        return False
+
+    def has_tumor_only_kmer(self) -> bool:
+        if self.source is None or self.sink is None:
+            return False
+        return any(n.is_tumor and not n.is_normal for n in self.node_iter())
+
+    # ------------------------------------------------------------------
+    # marking (ref: Graph.cc:2233-2336)
+    # ------------------------------------------------------------------
+    def mark_ref_nodes(self) -> None:
+        for n in self.node_iter():
+            n.mark_ref(self.ref, self.K)
+            n.component = 0
+
+    def mark_connected_components(self) -> int:
+        self.ref.refcompids = set()
+        for n in self.node_iter():
+            n.component = 0
+        comp = 0
+        refcomp = 0
+        for n in self.node_iter():
+            if n.component != 0:
+                continue
+            comp += 1
+            q = deque([n])
+            touches = 0
+            while q:
+                cur = q.popleft()
+                if cur is None:
+                    continue
+                if cur.component == 0:
+                    cur.component = comp
+                    if cur.touch_ref:
+                        touches += 1
+                    for e in cur.edges:
+                        q.append(self.get_edge_node(e))
+            if touches:
+                refcomp += 1
+                self.ref.refcompids.add(comp)
+        self.ref.refcomp = refcomp
+        self.ref.allcomp = comp
+        return comp
+
+    # ------------------------------------------------------------------
+    # source/sink anchoring (ref: Graph.cc:2028-2228)
+    # ------------------------------------------------------------------
+    def mark_ref_ends(self, refinfo, compid: int) -> None:
+        K = self.K
+        refid = 0
+        if not self.is_ref_added:
+            qv = "K" * len(self.ref.rawseq)
+            refid = self.add_read("ref", self.ref.hdr, self.ref.rawseq, qv,
+                                  "R", REF_LABEL, FWD, 0, "null", 0)
+            self.is_ref_added = True
+
+        self.ref.trim5 = -1
+        self.ref.trim3 = -1
+        self.source = None
+        self.sink = None
+        rawseq = self.ref.rawseq
+
+        # first qualifying mer left->right; abort if the SAME node matches twice
+        source_node = None
+        source_mer = source_ori = None
+        source_offset = -1
+        for offset in range(len(rawseq)):
+            cmer, ori = canonical(rawseq[offset : offset + K])
+            cand = self.nodes.get(cmer)
+            if cand is not None and cand.tot_cov() >= self.COV_THRESHOLD and cand.component == compid:
+                if source_node is None:
+                    source_node, source_mer, source_ori = cand, cmer, ori
+                    source_offset = offset
+                elif source_node is cand:
+                    return  # ambiguous
+        if source_node is None:
+            return
+
+        sink_node = None
+        sink_mer = sink_ori = None
+        sink_offset = -1
+        for offset in range(len(rawseq) - K, -1, -1):
+            cmer, ori = canonical(rawseq[offset : offset + K])
+            cand = self.nodes.get(cmer)
+            if cand is not None and cand.tot_cov() >= self.COV_THRESHOLD and cand.component == compid:
+                if sink_node is None:
+                    sink_node, sink_mer, sink_ori = cand, cmer, ori
+                    sink_offset = offset
+                elif sink_node is cand:
+                    return  # ambiguous
+        if sink_node is None:
+            return
+
+        ref_dist = sink_offset - source_offset + K
+        sink_offset = len(rawseq) - sink_offset - K
+        self.ref.seq = rawseq[source_offset : source_offset + ref_dist]
+        self.ref.trim5 = source_offset
+        self.ref.trim3 = sink_offset
+        # NOTE: the mer index is NOT invalidated here — the reference keeps
+        # the pre-trim index for the rest of this k iteration and only
+        # re-indexes (over the now-trimmed seq) after the next setK
+        # (Ref.hh:109, Ref.cc:42) — stale-trim quirk preserved.
+
+        # fake source node wiring (ref: Graph.cc:2156-2191)
+        newsource = Node(f"source{compid}")
+        newsource.component = compid
+        sourcedir = FF if source_ori == F else FR
+        # CLIP_REF_ENDS: cut edges entering the source from upstream
+        for i in range(len(source_node.edges) - 1, -1, -1):
+            e = source_node.edges[i]
+            if edgedir_start(e.dir) == (R if source_ori == F else F):
+                other = self.get_edge_node(e)
+                if other is not None and other is not source_node:
+                    other.remove_edge(source_node.nodeid, fliplink(e.dir))
+                    del source_node.edges[i]
+        newsource.add_edge(source_mer, sourcedir, refid)
+        newsource.is_source = True
+        source_node.add_edge(newsource.nodeid, fliplink(sourcedir), refid)
+        self.source = newsource
+        self.nodes[newsource.nodeid] = newsource
+
+        newsink = Node(f"sink{compid}")
+        newsink.component = compid
+        sinkdir = RR if sink_ori == F else FF
+        for i in range(len(sink_node.edges) - 1, -1, -1):
+            e = sink_node.edges[i]
+            if edgedir_start(e.dir) == sink_ori:
+                other = self.get_edge_node(e)
+                if other is not None and other is not sink_node:
+                    other.remove_edge(sink_node.nodeid, fliplink(e.dir))
+                    del sink_node.edges[i]
+        newsink.add_edge(sink_mer, sinkdir, refid)
+        newsink.is_sink = True
+        sink_node.add_edge(newsink.nodeid, fliplink(sinkdir), refid)
+        self.sink = newsink
+        self.nodes[newsink.nodeid] = newsink
+
+    # ------------------------------------------------------------------
+    # cleanup (ref: Graph.cc:2486-2926)
+    # ------------------------------------------------------------------
+    def compress_node(self, node: Node, d: str) -> None:
+        K = self.K
+        while True:
+            uniqueid = node.get_buddy(d)
+            if uniqueid == -1:
+                return
+            if node.is_tandem():
+                return
+            edir = node.edges[uniqueid].dir
+            bdir = R if edir in (FF, RF) else F
+            buddy = self.get_edge_node(node.edges[uniqueid])
+            assert buddy is not None and not buddy.dead
+            if buddy.is_tandem():
+                return
+            buniqueid = buddy.get_buddy(bdir)
+            if buniqueid == -1:
+                return
+            assert buddy.edges[buniqueid].nodeid == node.nodeid
+
+            astr = node.str_m
+            if d == R:
+                astr = rc_str(astr)
+                node.revreads()
+                node.rev_cov_distr()
+            bstr = buddy.str_m
+            if edgedir_dest(edir) == R:
+                bstr = rc_str(bstr)
+                buddy.revreads()
+                buddy.rev_cov_distr()
+
+            assert astr[len(astr) - K + 1 :] == bstr[: K - 1]
+            mstr = astr + bstr[K - 1 :]
+            if d == R:
+                mstr = rc_str(mstr)
+            node.str_m = mstr
+
+            amerlen = len(astr) - K + 1
+            bmerlen = len(bstr) - K + 1
+            n_tf, n_nf = node.cov_tmr_fwd, node.cov_nml_fwd
+            n_tr, n_nr = node.cov_tmr_rev, node.cov_nml_rev
+            b_tf, b_nf = buddy.cov_tmr_fwd, buddy.cov_nml_fwd
+            b_tr, b_nr = buddy.cov_tmr_rev, buddy.cov_nml_rev
+
+            node.cov_distr_tmr = np.concatenate([node.cov_distr_tmr, buddy.cov_distr_tmr[K - 1 :]], axis=0)
+            node.cov_distr_nml = np.concatenate([node.cov_distr_nml, buddy.cov_distr_nml[K - 1 :]], axis=0)
+            node.cov_status.extend(buddy.cov_status[K - 1 :])
+
+            node.bx_tmr_fwd |= buddy.bx_tmr_fwd
+            node.bx_tmr_rev |= buddy.bx_tmr_rev
+            node.bx_nml_fwd |= buddy.bx_nml_fwd
+            node.bx_nml_rev |= buddy.bx_nml_rev
+
+            node.compute_min_cov()
+            tot = amerlen + bmerlen
+            node.cov_tmr_fwd = (n_tf * amerlen + b_tf * bmerlen) / tot
+            node.cov_nml_fwd = (n_nf * amerlen + b_nf * bmerlen) / tot
+            node.cov_tmr_rev = (n_tr * amerlen + b_tr * bmerlen) / tot
+            node.cov_nml_rev = (n_nr * amerlen + b_nr * bmerlen) / tot
+
+            node.reads |= buddy.reads
+
+            shift = amerlen
+            for rs in buddy.readstarts:
+                node.readstarts.append([rs[0], rs[1] + shift, rs[2], rs[3]])
+
+            if d == R:
+                node.revreads()
+                node.rev_cov_distr()
+            node.sort_read_starts()
+
+            buddy.dead = True
+            if buddy.is_ref:
+                node.is_ref = True
+            if buddy.is_normal:
+                node.is_normal = True
+            if buddy.is_tumor:
+                node.is_tumor = True
+
+            del node.edges[uniqueid]
+            for i, be in enumerate(buddy.edges):
+                if i == buniqueid:
+                    continue
+                ne = Edge(be.nodeid, be.dir)
+                ne.flag = be.flag
+                ne.readids = list(be.readids)
+                if edir in (FR, RF):
+                    ne.dir = flipme(ne.dir)
+                other = self.get_edge_node(ne)
+                if other is buddy:
+                    ne.nodeid = node.nodeid
+                    node.edges.append(ne)
+                else:
+                    node.edges.append(ne)
+                    other.update_edge(buddy.nodeid, fliplink(be.dir),
+                                      node.nodeid, fliplink(ne.dir))
+
+    def compress(self, compid: int) -> None:
+        for n in self.node_iter():
+            if n.component == compid:
+                if n.dead or n.is_special():
+                    continue
+                self.compress_node(n, F)
+                self.compress_node(n, R)
+        self.clean_dead()
+
+    def clean_dead(self) -> None:
+        dead = [k for k, n in self.nodes.items() if n.dead]
+        for k in dead:
+            del self.nodes[k]
+
+    def remove_node(self, node: Node) -> None:
+        assert not node.dead
+        node.dead = True
+        for e in node.edges:
+            nn = self.get_edge_node(e)
+            if nn is not None and nn is not node:
+                nn.remove_edge(node.nodeid, fliplink(e.dir))
+
+    def remove_low_cov(self, docompression: bool, compid: int) -> None:
+        """(ref: Graph.cc:2790-2827) — prune on min quality-gated coverage."""
+        avgcov = self.totalreadbp / len(self.ref.rawseq)
+        for node in self.node_iter():
+            if node.component != compid or node.dead:
+                continue
+            if node.is_special():
+                continue
+            if (node.mincov_qv <= self.LOW_COV_THRESHOLD
+                    or node.mincov_qv <= self.MIN_COV_RATIO * avgcov
+                    or (node.tot_tmr_cov() == 1 and node.tot_nml_cov() == 1)):
+                self.remove_node(node)
+        self.clean_dead()
+        if docompression:
+            self.compress(compid)
+
+    def remove_tips(self, compid: int) -> None:
+        """(ref: Graph.cc:2885-2926)"""
+        while True:
+            tips = 0
+            for cur in self.node_iter():
+                if cur.component != compid or cur.dead:
+                    continue
+                if cur.is_special():
+                    continue
+                deg = len(cur.edges)
+                ln = cur.strlen() - self.K + 1
+                if deg <= 1 and ln < self.MAX_TIP_LEN:
+                    self.remove_node(cur)
+                    tips += 1
+            if tips:
+                # reference calls compress() which also cleans dead nodes
+                self.compress(compid)
+            else:
+                break
+
+    def remove_short_links(self, compid: int) -> None:
+        """(ref: Graph.cc:2833-2880)"""
+        import math
+
+        links = 0
+        avgcov = self.totalreadbp / len(self.ref.rawseq)
+        thr = math.floor(math.sqrt(avgcov))
+        for cur in self.node_iter():
+            if cur.component != compid or cur.dead:
+                continue
+            if cur.is_special():
+                continue
+            deg = len(cur.edges)
+            ln = cur.get_size()
+            if deg >= 2 and ln < self.MAX_LINK_LEN and cur.mincov <= thr:
+                _, L, _ = find_tandems(cur.str_m, self.cfg.max_unit_len,
+                                       self.cfg.min_report_units,
+                                       self.cfg.min_report_len,
+                                       self.cfg.dist_from_str, self.K - 1)
+                if L == 0:
+                    self.remove_node(cur)
+                    links += 1
+        if links:
+            self.compress(compid)
+
+    # ------------------------------------------------------------------
+    # path enumeration (ref: Graph.cc:1299-1501)
+    # ------------------------------------------------------------------
+    def bfs(self, source: Node, sink: Node, d: str) -> Path | None:
+        reflen = len(self.ref.seq)
+        visit = 0
+        complete = 0
+        q: deque[Path] = deque()
+        path = Path(self.K)
+        path.nodes.append(source)
+        path.dir = d
+        path.len_m = self.K
+        best: Path | None = None
+        q.append(path)
+        while q:
+            visit += 1
+            if self.DFS_LIMIT and visit > self.DFS_LIMIT:
+                break
+            path = q.popleft()
+            cur = path.cur_node()
+            if cur is sink and path.flag == 0:
+                complete += 1
+                if best is None or path.score > best.score:
+                    best = Path(self.K, path)
+            elif path.len_m > reflen + self.MAX_INDEL_LEN:
+                pass  # too long
+            else:
+                tried = 0
+                for edge in cur.edges:
+                    if edge.isdir(path.dir):
+                        tried += 1
+                        other = self.get_edge_node(edge)
+                        if not path.has_cycle_m:
+                            path.has_cycle(other)
+                        newpath = Path(self.K, path)
+                        newpath.nodes.append(other)
+                        newpath.edges.append(edge)
+                        newpath.edgedir.append(edge.dir)
+                        newpath.dir = edge.destdir()
+                        newpath.len_m = path.len_m + other.strlen() - self.K + 1
+                        newpath.flag = path.flag * edge.flag
+                        if edge.flag == 0:
+                            newpath.score = path.score + 1
+                        q.append(newpath)
+        if complete == 0:
+            best = None
+        return best
+
+    def eka(self, source: Node, sink: Node, d: str) -> None:
+        """Edmonds–Karp-style edge-covering path enumeration feeding
+        process_path (ref: Graph.cc:1430-1501)."""
+        complete = 0
+        while True:
+            path = self.bfs(source, sink, d)
+            if path is None:
+                break
+            complete += 1
+            self.process_path(path, self.ref, complete)
+            for e in path.edges:
+                e.flag = 1
+
+    def find_repeats_in_graph_paths(self, ref) -> bool:
+        """(ref: Graph.cc:686-730)"""
+        if self.source is None or self.sink is None:
+            return False
+        answer = False
+        touched: list[Edge] = []
+        while True:
+            path = self.bfs(self.source, self.sink, F)
+            if path is None:
+                break
+            if is_almost_repeat(path.str(), self.K, self.MAX_MISMATCH):
+                answer = True
+                break
+            for e in path.edges:
+                e.flag = 1
+                touched.append(e)
+        for e in touched:
+            e.flag = 0
+        return answer
+
+    def has_repeats_in_graph_paths(self, ref) -> bool:
+        return self.find_repeats_in_graph_paths(ref)
+
+    def count_ref_path(self) -> None:
+        """(ref: Graph.cc:2420-2445)"""
+        if self.source is not None and self.sink is not None:
+            self.eka(self.source, self.sink, F)
+
+    # ------------------------------------------------------------------
+    # path -> variants (ref: Graph.cc:788-1220)
+    # ------------------------------------------------------------------
+    def process_path(self, path: Path, ref, complete: int) -> None:
+        refseq = ref.seq
+        HD_CUTOFF = 5
+        path.match_bp = path.snp_bp = path.ins_bp = path.del_bp = 0
+
+        coverageN = path.cov_distr("N")
+        coverageT = path.cov_distr("T")
+        pathseq = path.str()
+
+        hd = hamming_distance(refseq, pathseq)
+        if hd == -1 or hd > HD_CUTOFF:
+            ref_aln, path_aln = global_align_aff(refseq, pathseq)
+        else:
+            ref_aln, path_aln = refseq, pathseq
+
+        try:
+            self._scan_alignment(path, ref, refseq, pathseq, ref_aln, path_aln,
+                                 coverageN, coverageT)
+        except (IndexError, ValueError):
+            # mirrors the reference's catch(std::out_of_range) swallow
+            # (Graph.cc:1213-1218)
+            pass
+
+        # perfect/withsnps/... classification is verbose-only; still update
+        # the per-path counters used by it
+        for n in path.nodes:
+            n.on_ref_path += 1
+
+    def _scan_alignment(self, path, ref, refseq, pathseq, ref_aln, path_aln,
+                        coverageN, coverageT) -> None:
+        K = self.K
+        pos_in_ref = 0
+        refpos = 0
+        pathpos = 0
+        code = "?"
+        transcripts: list[Transcript] = []
+
+        for i in range(len(ref_aln)):
+            prev_code = code
+            if ref_aln[i] == "-":
+                code = "^"
+                pos_in_ref = refpos
+                pathpos += 1
+            elif path_aln[i] == "-":
+                code = "v"
+                pos_in_ref = refpos
+                refpos += 1
+            else:
+                code = "=" if ref_aln[i] == path_aln[i] else "x"
+                pos_in_ref = refpos
+                refpos += 1
+                pathpos += 1
+
+            if ref_aln[i] == path_aln[i]:
+                path.match_bp += 1
+            elif ref_aln[i] == "-":
+                path.ins_bp += 1
+            elif path_aln[i] == "-":
+                path.del_bp += 1
+            else:
+                path.snp_bp += 1
+
+            spanner = path.pathcontig(pathpos)
+            if spanner is None:
+                break
+            within_tumor_node = spanner.is_status_cnt(ord("T"))
+
+            P = pathpos - 1
+            COVn = coverageN[P]
+            COVt = coverageT[P]
+            REFn = ref.get_cov_struct_at(pos_in_ref + ref.trim5, NML)
+            REFt = ref.get_cov_struct_at(pos_in_ref + ref.trim5, TMR)
+
+            if code != "=":
+                rrpos = pos_in_ref + ref.refstart + ref.trim5
+                ts = len(transcripts)
+                pr = i - 1
+                while pr >= 0 and ref_aln[pr] not in "ACGT":
+                    pr -= 1
+                pa = i - 1
+                while pa >= 0 and path_aln[pa] not in "ACGT":
+                    pa -= 1
+                if pr < 0 or pa < 0:
+                    raise IndexError("leading-gap alignment (C++ UB territory)")
+
+                if ts > 0 and prev_code != "=":
+                    t = transcripts[ts - 1]
+                    if within_tumor_node:
+                        t.is_somatic = True
+                    t.ref += ref_aln[i]
+                    t.qry += path_aln[i]
+                    t.end_pos = P
+                    t.ref_end_pos = pos_in_ref
+                    if code == "^" and t.code == code and t.pos == rrpos:
+                        t.add_alt_cov_nml(COVn)
+                        t.add_alt_cov_tmr(COVt)
+                    elif code == "v" and t.code == code and (t.pos + len(t.ref)) == rrpos:
+                        t.add_ref_cov_nml(REFn)
+                        t.add_ref_cov_tmr(REFt)
+                    elif code == "x" or t.code != code:
+                        t.code = "c"
+                        t.add_alt_cov_nml(COVn)
+                        t.add_alt_cov_tmr(COVt)
+                        t.add_ref_cov_nml(REFn)
+                        t.add_ref_cov_tmr(REFt)
+                else:
+                    transcripts.append(Transcript(
+                        rrpos, pos_in_ref, P + 1, code, ref_aln[i], path_aln[i],
+                        COVn, COVt, REFn, REFt, ref_aln[pr], path_aln[pa],
+                        P, pos_in_ref, within_tumor_node))
+
+        for t in transcripts:
+            # K-bp post-event coverage resync for indels (Graph.cc:1040-1068)
+            if t.code != "x":
+                for j in range(K + 1):
+                    idx1 = t.end_pos + j
+                    if idx1 < coverageN.shape[0]:
+                        spanner = path.pathcontig(idx1)
+                        if spanner is None:
+                            break
+                        if spanner.is_status_cnt(ord("T")):
+                            t.is_somatic = True
+                        t.add_alt_cov_nml(coverageN[idx1])
+                        t.add_alt_cov_tmr(coverageT[idx1])
+                    idx2 = t.ref_end_pos + ref.trim5 + j
+                    t.add_ref_cov_nml(ref.get_cov_struct_at(idx2, NML))
+                    t.add_ref_cov_tmr(ref.get_cov_struct_at(idx2, TMR))
+
+            t.update_stats()
+
+            RCNF, RCNR = t.min_ref_cov_N[0], t.min_ref_cov_N[1]
+            RCTF, RCTR = t.min_ref_cov_T[0], t.min_ref_cov_T[1]
+            ACNF = t.get_min_cov_N_fwd()
+            ACNR = t.get_min_cov_N_rev()
+            if t.code != "x":
+                ACNF = t.get_min_non0_cov_N_fwd()
+                ACNR = t.get_min_non0_cov_N_rev()
+            ACTF = t.get_min_cov_T_fwd()
+            ACTR = t.get_min_cov_T_rev()
+
+            HP0RN, HP1RN, HP2RN = t.min_ref_cov_N[4], t.min_ref_cov_N[5], t.min_ref_cov_N[6]
+            HP0RT, HP1RT, HP2RT = t.min_ref_cov_T[4], t.min_ref_cov_T[5], t.min_ref_cov_T[6]
+            HP0AN = t.get_min_cov_N_hp(0)
+            HP1AN = t.get_min_cov_N_hp(1)
+            HP2AN = t.get_min_cov_N_hp(2)
+            HP0AT = t.get_min_cov_T_hp(0)
+            HP1AT = t.get_min_cov_T_hp(1)
+            HP2AT = t.get_min_cov_T_hp(2)
+
+            if t.is_somatic:
+                RCNF, RCNR = t.mean_ref_cov_N[0], t.mean_ref_cov_N[1]
+                RCTF, RCTR = t.mean_ref_cov_T[0], t.mean_ref_cov_T[1]
+                ACNF = ACNR = 0
+                HP0RT, HP1RT, HP2RT = t.mean_ref_cov_T[4], t.mean_ref_cov_T[5], t.mean_ref_cov_T[6]
+                HP0RN, HP1RN, HP2RN = t.mean_ref_cov_N[4], t.mean_ref_cov_N[5], t.mean_ref_cov_N[6]
+                HP0AN = HP1AN = HP2AN = 0
+
+            if ACNF > 0 or ACNR > 0 or ACTF > 0 or ACTR > 0:
+                ans, L, MOTIF = find_tandems(
+                    pathseq, self.cfg.max_unit_len, self.cfg.min_report_units,
+                    self.cfg.min_report_len, self.cfg.dist_from_str, t.start_pos)
+                STR = f"{L}{MOTIF}" if ans else ""
+
+                bx_ref_N = bx_ref_T = bx_alt_N = bx_alt_T = ""
+                if self.LR_MODE:
+                    bx_ref_N = ref.get_bx_set_at(t.ref_pos - 1, t.ref_end_pos - 1, refseq, NML)
+                    bx_ref_T = ref.get_bx_set_at(t.ref_pos - 1, t.ref_end_pos - 1, refseq, TMR)
+                    bx_alt_N = self.get_bx_set_at(t.start_pos - 2, t.end_pos - 1, pathseq, NML)
+                    bx_alt_T = self.get_bx_set_at(t.start_pos - 2, t.end_pos - 1, pathseq, TMR)
+
+                v = Variant(
+                    lr_mode=self.LR_MODE, chrom=ref.refchr, pos=t.pos - 1,
+                    ref_str=t.ref, alt_str=t.qry,
+                    rcn=(RCNF, RCNR), rct=(RCTF, RCTR),
+                    acn=(ACNF, ACNR), act=(ACTF, ACTR),
+                    hprn=(HP1RN, HP2RN, HP0RN), hprt=(HP1RT, HP2RT, HP0RT),
+                    hpan=(HP1AN, HP2AN, HP0AN), hpat=(HP1AT, HP2AT, HP0AT),
+                    prev_bp_ref=t.prev_bp_ref, prev_bp_alt=t.prev_bp_alt,
+                    kmer=self.K, str_tag=STR, code=t.code,
+                    bx_ref_n=bx_ref_N, bx_ref_t=bx_ref_T,
+                    bx_alt_n=bx_alt_N, bx_alt_t=bx_alt_T)
+                self.vdb.add_var(v)

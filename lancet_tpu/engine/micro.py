@@ -1,0 +1,360 @@
+"""Per-shard window worker: triage, read extraction, and the self-tuning-k
+assembly driver (ref: src/Microassembler.{hh,cc})."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .graph import CODE_BASTARD, CODE_MAPPED, Graph
+from .node import FWD, NML, REV, TMR
+from .seqs import is_almost_repeat, is_n_seq, is_repeat, parse_md
+from .vardb import VariantDB
+
+CLIP_PRC = 0.5
+MIN_XM = 5
+
+
+@dataclass
+class Aln:
+    """One BAM alignment record (the fields lancet consumes)."""
+
+    name: str
+    pos: int  # 0-based leftmost
+    mapq: int
+    flag: int
+    seq: str
+    qual: str  # phred+33 chars
+    cigar: list  # [(op_char, length)]
+    tags: dict  # tag -> (type_char, value)
+
+    @property
+    def is_paired(self) -> bool:
+        return bool(self.flag & 0x1)
+
+    @property
+    def is_mapped(self) -> bool:
+        return not (self.flag & 0x4)
+
+    @property
+    def is_reverse(self) -> bool:
+        return bool(self.flag & 0x10)
+
+    @property
+    def is_first_mate(self) -> bool:
+        return bool(self.flag & 0x1) and bool(self.flag & 0x40)
+
+    @property
+    def is_second_mate(self) -> bool:
+        return bool(self.flag & 0x1) and bool(self.flag & 0x80)
+
+    @property
+    def is_duplicate(self) -> bool:
+        return bool(self.flag & 0x400)
+
+    @property
+    def is_primary(self) -> bool:
+        return not (self.flag & 0x100)
+
+    def end_position(self) -> int:
+        """Half-open end: pos + sum of M/D/N/X/= lengths (bamtools
+        GetEndPosition with closedInterval=false)."""
+        ln = 0
+        for op, n in self.cigar:
+            if op in "MDNX=":
+                ln += n
+        return self.pos + ln
+
+    def get_numeric_tag(self, tag: str) -> float:
+        """-1.0 when missing or non-numeric (ref: util.cc:486-560)."""
+        tv = self.tags.get(tag)
+        if tv is None:
+            return -1.0
+        t, v = tv
+        if t in "cCsSiIf":
+            return float(v)
+        return -1.0
+
+    def get_string_tag(self, tag: str) -> str:
+        tv = self.tags.get(tag)
+        if tv is None:
+            return ""
+        t, v = tv
+        if t in ("Z", "A", "H"):
+            return str(v)
+        return ""
+
+    def soft_clips(self):
+        """(clip_sizes, read_positions, genome_positions) with bamtools
+        GetSoftClips semantics (BamAlignment.cpp:536-600)."""
+        ref_pos = self.pos
+        read_pos = 0
+        clip_sizes, read_positions, genome_positions = [], [], []
+        first = True
+        for op, n in self.cigar:
+            if op in "DMXN=":
+                ref_pos += n
+                read_pos += n
+            elif op == "I":
+                read_pos += n
+            elif op == "S":
+                if first:
+                    read_pos += n
+                clip_sizes.append(n)
+                read_positions.append(read_pos)
+                genome_positions.append(ref_pos)
+            first = False
+        return clip_sizes, read_positions, genome_positions
+
+
+@dataclass
+class ShardCounters:
+    num_skip: int = 0
+    num_snv_only: int = 0
+    num_indel_only: int = 0
+    num_softclip_only: int = 0
+    num_indel_or_softclip: int = 0
+    num_snv_or_indel: int = 0
+    num_snv_or_softclip: int = 0
+    num_snv_or_indel_or_softclip: int = 0
+    total_reads: int = 0
+    windows_done: int = 0
+
+
+class Microassembler:
+    """One shard's worker (thread equivalent)."""
+
+    def __init__(self, cfg, readers=None):
+        self.cfg = cfg
+        self.filters = cfg.filters
+        self.vdb = VariantDB(cfg.lr_mode)
+        self.counters = ShardCounters()
+        self.readers = readers  # (tumor_reader, normal_reader)
+        self.readgroups: set[str] = {"null"}
+        self.graph_cnt = 0
+
+    # ------------------------------------------------------------------
+    def is_active_region(self, alns, refinfo, code: int) -> bool:
+        """Pre-scan for mutation evidence (ref: Microassembler.cc:255-432)."""
+        fs = self.filters
+        min_evidence = fs.min_alt_cnt_tumor
+        mq = 0 if code == NML else self.cfg.min_map_qual
+        map_x: dict[int, int] = {}
+        map_i: dict[int, int] = {}
+        map_d: dict[int, int] = {}
+        map_sc: dict[int, int] = {}
+
+        for al in alns:
+            alstart = al.pos
+            alend = al.end_position()
+            if alstart < refinfo.refstart or alend > refinfo.refend:
+                continue
+            if al.mapq < mq or al.is_duplicate:
+                continue
+            if not al.seq or not al.qual:
+                continue
+            rg = al.get_string_tag("RG") or "null"
+            if not ("null" in self.readgroups or rg in self.readgroups):
+                continue
+            md = al.get_string_tag("MD")
+            if md:
+                parse_md(md, map_x, alstart, al.qual, self.cfg.min_qual_call)
+            # CIGAR walk: pos advances for every non-I op (incl. S),
+            # events recorded at the post-advance position (reference quirk,
+            # Microassembler.cc:316-346)
+            pos = alstart
+            for op, ln in al.cigar:
+                if op != "I":
+                    pos += ln
+                if op == "X":
+                    map_x[pos] = map_x.get(pos, 0) + 1
+                if op == "I":
+                    map_i[pos] = map_i.get(pos, 0) + 1
+                if op == "D":
+                    map_d[pos] = map_d.get(pos, 0) + 1
+            _, _, gps = al.soft_clips()
+            for gp in gps:
+                map_sc[gp] = map_sc.get(gp, 0) + 1
+
+        snv = any(v >= min_evidence for v in map_x.values())
+        indel = any(v >= min_evidence for v in map_i.values()) or \
+            any(v >= min_evidence for v in map_d.values())
+        softclip = any(v >= min_evidence for v in map_sc.values())
+
+        c = self.counters
+        if code == TMR:
+            if snv and not indel and not softclip:
+                c.num_snv_only += 1
+            if not snv and indel and not softclip:
+                c.num_indel_only += 1
+            if not snv and not indel and softclip:
+                c.num_softclip_only += 1
+            if not snv and (indel or softclip):
+                c.num_indel_or_softclip += 1
+            if (snv or indel) and not softclip:
+                c.num_snv_or_indel += 1
+            if (snv or softclip) and not indel:
+                c.num_snv_or_softclip += 1
+            if snv or indel or softclip:
+                c.num_snv_or_indel_or_softclip += 1
+
+        return snv or indel or softclip
+
+    # ------------------------------------------------------------------
+    def extract_reads(self, alns, g: Graph, refinfo, code: int) -> bool:
+        """Filter chain feeding the graph; True means skip window
+        (ref: Microassembler.cc:436-655)."""
+        cfg = self.cfg
+        mq = 0 if code == NML else cfg.min_map_qual
+        min_delta = -1 if code == NML else cfg.max_delta_as_xs
+        sample_type = "tumor" if code == TMR else "normal"
+        totalreadbp = 0
+        skip = False
+
+        for al in alns:
+            avgcov = totalreadbp / len(refinfo.rawseq) if refinfo.rawseq else 0.0
+            if avgcov > cfg.max_avg_cov:
+                skip = True
+                break
+            alstart = al.pos
+            alend = al.end_position()
+            if alstart < refinfo.refstart or alend > refinfo.refend:
+                continue
+            if cfg.primary_alignment_only and not al.is_primary:
+                continue
+            if al.mapq < mq or al.is_duplicate:
+                continue
+
+            mate = 0
+            if al.is_first_mate:
+                mate = 1
+            if al.is_second_mate:
+                mate = 2
+            strand = REV if al.is_reverse else FWD
+
+            as_ = al.get_numeric_tag("AS")
+            xs_ = al.get_numeric_tag("XS")
+            delta = abs(as_ - xs_)
+            if delta <= min_delta and as_ != -1 and xs_ != -1:
+                continue
+
+            xt = al.get_string_tag("XT") or "null"
+            if xt == "R" and code != NML:
+                continue
+            xa = al.get_string_tag("XA") or "null"
+            if xa != "null" and code != NML and cfg.xa_filter:
+                continue
+
+            bx = "null"
+            hp = 0
+            if cfg.lr_mode:
+                bx = al.get_string_tag("BX") or "null"
+                hp = int(al.get_numeric_tag("HP"))
+                if hp == -1:
+                    hp = 0
+
+            rg = al.get_string_tag("RG") or "null"
+            if "null" in self.readgroups or rg in self.readgroups:
+                if not al.is_mapped:
+                    g.add_alignment(sample_type, al.name, al.seq, al.qual,
+                                    mate, CODE_BASTARD, code, strand, bx, hp)
+                else:
+                    g.add_alignment(sample_type, al.name, al.seq, al.qual,
+                                    mate, CODE_MAPPED, code, strand, bx, hp)
+                self.counters.total_reads += 1
+                totalreadbp += len(al.seq)
+        return skip
+
+    # ------------------------------------------------------------------
+    def process_graph(self, g: Graph, refinfo, minkmer: int, maxkmer: int) -> int:
+        """Self-tuning-k assembly of one window
+        (ref: Microassembler.cc:73-249)."""
+        self.graph_cnt += 1
+        if g.count_mapped_reads() <= 0:
+            return 0
+        numreads = len(g.readid2info)
+
+        for k in range(minkmer, maxkmer + 1, 2):
+            g.set_k(k)
+            refinfo.set_k(k)
+            rpt_in_qry = False
+            cycle_in_graph = False
+
+            if is_repeat(refinfo.rawseq, k):
+                continue
+            if is_almost_repeat(refinfo.rawseq, k, self.cfg.max_mismatch):
+                continue
+
+            g.buildgraph(refinfo)
+            g.mark_ref_nodes()
+            g.remove_low_cov(False, 0)
+            numcomp = g.mark_connected_components()
+
+            for c in range(1, numcomp + 1):
+                g.mark_ref_ends(refinfo, c)
+                if g.has_cycle():
+                    g.clear(False)
+                    cycle_in_graph = True
+                    break
+                g.compress(c)
+                g.remove_low_cov(True, c)
+                g.remove_tips(c)
+                g.remove_short_links(c)
+                if g.has_cycle():
+                    g.clear(False)
+                    cycle_in_graph = True
+                    break
+                if g.has_repeats_in_graph_paths(refinfo):
+                    g.clear(False)
+                    rpt_in_qry = True
+                    break
+                g.count_ref_path()
+
+            if rpt_in_qry or cycle_in_graph:
+                continue
+            break
+
+        g.clear(True)
+        return numreads
+
+    # ------------------------------------------------------------------
+    def process_window(self, window, tumor_alns=None, normal_alns=None) -> None:
+        """One window end-to-end. Alignment lists may be passed directly
+        (testing) or fetched from the shard's readers."""
+        cfg = self.cfg
+        refinfo = window.make_ref(cfg.min_k)
+
+        if is_n_seq(refinfo.rawseq):
+            return
+        if is_repeat(refinfo.rawseq, cfg.max_k):
+            return
+
+        if tumor_alns is None:
+            tumor_alns = list(self.readers[0].fetch(
+                window.chrom, window.refstart, window.refend))
+        if normal_alns is None:
+            normal_alns = list(self.readers[1].fetch(
+                window.chrom, window.refstart, window.refend))
+
+        active_t = active_n = True
+        if cfg.active_regions:
+            active_t = self.is_active_region(tumor_alns, refinfo, TMR)
+            active_n = self.is_active_region(normal_alns, refinfo, NML)
+
+        if active_t or active_n:
+            g = Graph(cfg, self.filters, self.vdb)
+            skip_t = self.extract_reads(tumor_alns, g, refinfo, TMR)
+            skip_n = self.extract_reads(normal_alns, g, refinfo, NML)
+            if not skip_t and not skip_n:
+                self.process_graph(g, refinfo, cfg.min_k, cfg.max_k)
+            else:
+                self.counters.num_skip += 1
+                g.clear(True)
+        else:
+            self.counters.num_skip += 1
+        self.counters.windows_done += 1
+
+    def process_windows(self, windows) -> None:
+        """Process a shard's windows in lexicographic name order (reference
+        std::map reftable order, Microassembler.cc:779)."""
+        for w in sorted(windows, key=lambda w: w.name):
+            self.process_window(w)

@@ -1,0 +1,81 @@
+"""End-to-end run orchestration (host pipeline; ref: src/Lancet.cc main).
+
+Shards windows round-robin (reference thread semantics), processes each
+shard (oracle engine or TPU-batched engine), merges shard variant DBs in
+shard order, and renders the VCF.
+"""
+
+from __future__ import annotations
+
+import time
+
+from . import __version__
+from .config import Config
+from .engine.micro import Microassembler
+from .engine.vardb import VariantDB
+from .io.bam import BamReader
+from .io.fasta import FastaFile
+from .windows import generate_windows, shard_windows
+
+LANCET_VERSION = "1.1.0, October 18 2019"  # reference version string emulated
+
+
+def run(cfg: Config, command_line: str = "lancet-tpu", date: str | None = None,
+        engine: str = "oracle") -> str:
+    """Run the caller; returns the VCF text."""
+    fasta = FastaFile(cfg.ref_fasta)
+    tumor = BamReader(cfg.tumor_bam)
+    normal = BamReader(cfg.normal_bam)
+
+    # MD-tag availability check disables active regions like the reference
+    # (Lancet.cc:817-825): probe the first record of each BAM.
+    cfg_eff = cfg
+    if cfg.active_regions:
+        def first_has_md(rdr):
+            for alns in rdr._by_ref.values():
+                for al in alns:
+                    return "MD" in al.tags
+            return True
+        if not (first_has_md(tumor) or first_has_md(normal)):
+            import dataclasses
+            cfg_eff = dataclasses.replace(cfg, active_regions=False)
+
+    regions = []
+    if cfg.bed_file:
+        with open(cfg.bed_file) as f:
+            for line in f:
+                if line.startswith("#"):
+                    continue
+                toks = line.rstrip("\n").split("\t")
+                if len(toks) < 3:
+                    continue
+                sp = int(toks[1]) - cfg.padding
+                if sp < 1:
+                    sp = 1
+                ep = int(toks[2]) + cfg.padding
+                # NOTE: loadRefs pads again -> BED rows get 2x padding,
+                # replicating the reference (Lancet.cc:345-352)
+                regions.append(f"{toks[0]}:{sp}-{ep}")
+    if cfg.region:
+        regions.append(cfg.region)
+
+    windows = generate_windows(fasta, regions, fasta.lengths,
+                               cfg.window_size, cfg.padding)
+    shards = shard_windows(windows, cfg.num_threads)
+
+    workers = []
+    for shard in shards:
+        ma = Microassembler(cfg_eff, readers=(tumor, normal))
+        ma.process_windows(shard)
+        workers.append(ma)
+
+    merged = VariantDB(cfg.lr_mode)
+    for ma in workers:
+        merged.merge_from(ma.vdb)
+
+    if date is None:
+        date = time.asctime() + "\n"
+    sample_t = tumor.sample_name()
+    sample_n = normal.sample_name()
+    return merged.to_vcf(LANCET_VERSION, cfg.ref_fasta, date, cfg.filters,
+                         sample_n, sample_t, command_line)
