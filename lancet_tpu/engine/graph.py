@@ -13,6 +13,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
+from ..cpp_hash import CppUnorderedMap
 from .align import global_align_aff
 from .mer import F, R, canonical
 from .node import (FF, FR, RF, RR, FWD, REV, NML, TMR, Edge, Node,
@@ -69,7 +70,7 @@ class Graph:
         self.MAX_MISMATCH = cfg.max_mismatch
         self.verbose = cfg.verbose
 
-        self.nodes: dict[str, Node] = {}
+        self.nodes: CppUnorderedMap = CppUnorderedMap()
         self.totalreadbp = 0
         self.source: Node | None = None
         self.sink: Node | None = None
@@ -91,7 +92,7 @@ class Graph:
             self.readid2info = []
             self.is_ref_added = False
         self.totalreadbp = 0
-        self.nodes = {}
+        self.nodes = CppUnorderedMap()
         self.bx_table_tmr = {}
         self.bx_table_nml = {}
         self.source = None
@@ -101,10 +102,10 @@ class Graph:
             self.ref = None
 
     def node_iter(self):
-        """Node visitation order.  The reference iterates a libstdc++
-        unordered_map; we use insertion order (deterministic).  Parity risk
-        is limited to multi-component tie-break cases; see DESIGN.md."""
-        return list(self.nodes.values())
+        """Node visitation order: bit-exact libstdc++ unordered_map
+        iteration (see lancet_tpu.cpp_hash) — compression survivor choice
+        and per-base coverage row donation depend on it."""
+        return self.nodes.values()
 
     def get_node(self, nodeid: str) -> Node | None:
         return self.nodes.get(nodeid)
@@ -617,7 +618,7 @@ class Graph:
 
     def clean_dead(self) -> None:
         dead = [k for k, n in self.nodes.items() if n.dead]
-        for k in dead:
+        for k in sorted(dead):  # reference collects into std::set (sorted)
             del self.nodes[k]
 
     def remove_node(self, node: Node) -> None:

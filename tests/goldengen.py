@@ -1,0 +1,192 @@
+"""Golden-test scenario generation: synthetic tumor/normal pairs with
+known events, consumable by both engines and by compiled reference lancet."""
+
+from __future__ import annotations
+
+import random
+
+from lancet_tpu.engine.micro import Aln
+from tests.helpers import make_reference, md_for, write_pair
+
+BASES = "ACGT"
+
+
+def _md_from_cigar(refseq: str, pos0: int, cigar, readseq: str) -> str:
+    """MD tag from CIGAR + sequences (M/I/D only)."""
+    out = []
+    run = 0
+    rp = pos0
+    qp = 0
+    for op, ln in cigar:
+        if op == "M":
+            for i in range(ln):
+                if refseq[rp + i] == readseq[qp + i]:
+                    run += 1
+                else:
+                    out.append(str(run))
+                    out.append(refseq[rp + i])
+                    run = 0
+            rp += ln
+            qp += ln
+        elif op == "I":
+            qp += ln
+        elif op == "D":
+            out.append(str(run))
+            out.append("^" + refseq[rp : rp + ln])
+            run = 0
+            rp += ln
+    out.append(str(run))
+    return "".join(out)
+
+
+def hap_reads(refseq: str, edit, start0: int, end0: int, readlen: int,
+              step: int, prefix: str, frac: float, seed: int,
+              qual_char: str = "I", mapq: int = 60) -> list[Aln]:
+    """Tile reads over [start0, end0); a `frac` fraction carries `edit`
+    (('s', pos, base) | ('i', pos, seq) | ('d', pos, dellen)); reads not
+    fully spanning the event fall back to reference reads."""
+    rng = random.Random(seed)
+    out = []
+    i = 0
+    for pos in range(start0, end0 - readlen + 1, step):
+        flag = 0x10 if i % 2 else 0x0
+        use_hap = edit is not None and rng.random() < frac
+        name = f"{prefix}{i}"
+        al = None
+        if use_hap:
+            kind, p, payload = edit
+            if kind == "s":
+                if pos <= p < pos + readlen:
+                    seq = refseq[pos : pos + readlen]
+                    seq = seq[: p - pos] + payload + seq[p - pos + 1 :]
+                    cigar = [("M", readlen)]
+                    al = Aln(name=name, pos=pos, mapq=mapq, flag=flag, seq=seq,
+                             qual=qual_char * readlen, cigar=cigar,
+                             tags={"MD": ("Z", md_for(refseq[pos : pos + readlen], seq)),
+                                   "RG": ("Z", "rg1")})
+            elif kind == "i":
+                ins = payload
+                if pos < p and pos + readlen >= p + len(ins) + 1:
+                    a = p - pos
+                    seq = refseq[pos:p] + ins + refseq[p : p + readlen - a - len(ins)]
+                    cigar = [("M", a), ("I", len(ins)), ("M", readlen - a - len(ins))]
+                    al = Aln(name=name, pos=pos, mapq=mapq, flag=flag, seq=seq,
+                             qual=qual_char * readlen, cigar=cigar,
+                             tags={"MD": ("Z", _md_from_cigar(refseq, pos, cigar, seq)),
+                                   "RG": ("Z", "rg1")})
+            elif kind == "d":
+                dl = payload
+                if pos < p and pos + readlen > p:
+                    a = p - pos
+                    seq = refseq[pos:p] + refseq[p + dl : p + dl + readlen - a]
+                    cigar = [("M", a), ("D", dl), ("M", readlen - a)]
+                    al = Aln(name=name, pos=pos, mapq=mapq, flag=flag, seq=seq,
+                             qual=qual_char * readlen, cigar=cigar,
+                             tags={"MD": ("Z", _md_from_cigar(refseq, pos, cigar, seq)),
+                                   "RG": ("Z", "rg1")})
+        if al is None:
+            seq = refseq[pos : pos + readlen]
+            al = Aln(name=name, pos=pos, mapq=mapq, flag=flag, seq=seq,
+                     qual=qual_char * readlen, cigar=[("M", readlen)],
+                     tags={"MD": ("Z", str(readlen)), "RG": ("Z", "rg1")})
+        out.append(al)
+        i += 1
+    return out
+
+
+def scenario(name: str, seed: int = 0):
+    """-> (refseq, tumor_reads, normal_reads, region). Scenario families
+    cover the reference's event types and filter paths."""
+    rng = random.Random(seed * 9973 + 17)
+    L = 2000
+    refseq = make_reference(L, seed=seed + 100)
+    c = L // 2
+    region = f"chr1:{c - 50}-{c + 50}"
+    rl, step = 100, 5
+    lo, hi = c - 300, c + 300
+
+    def other(b):
+        return {"A": "C", "C": "G", "G": "T", "T": "A"}[b]
+
+    if name == "somatic_snv":
+        edit = ("s", c, other(refseq[c]))
+        t = hap_reads(refseq, edit, lo, hi, rl, step, "t", 0.5, seed + 1)
+        n = hap_reads(refseq, None, lo, hi, rl, step, "n", 0, seed + 2)
+    elif name == "shared_snv":
+        edit = ("s", c, other(refseq[c]))
+        t = hap_reads(refseq, edit, lo, hi, rl, step, "t", 0.5, seed + 1)
+        n = hap_reads(refseq, edit, lo, hi, rl, step, "n", 0.5, seed + 2)
+    elif name == "normal_only_snv":
+        edit = ("s", c, other(refseq[c]))
+        t = hap_reads(refseq, None, lo, hi, rl, step, "t", 0, seed + 1)
+        n = hap_reads(refseq, edit, lo, hi, rl, step, "n", 0.5, seed + 2)
+    elif name == "somatic_ins":
+        ins = "".join(rng.choice(BASES) for _ in range(rng.randint(1, 8)))
+        edit = ("i", c, ins)
+        t = hap_reads(refseq, edit, lo, hi, rl, step, "t", 0.6, seed + 1)
+        n = hap_reads(refseq, None, lo, hi, rl, step, "n", 0, seed + 2)
+    elif name == "somatic_del":
+        edit = ("d", c, rng.randint(1, 10))
+        t = hap_reads(refseq, edit, lo, hi, rl, step, "t", 0.6, seed + 1)
+        n = hap_reads(refseq, None, lo, hi, rl, step, "n", 0, seed + 2)
+    elif name == "low_vaf_snv":
+        edit = ("s", c, other(refseq[c]))
+        t = hap_reads(refseq, edit, lo, hi, rl, step, "t", 0.08, seed + 1)
+        n = hap_reads(refseq, None, lo, hi, rl, step, "n", 0, seed + 2)
+    elif name == "two_snvs":
+        e1 = ("s", c - 20, other(refseq[c - 20]))
+        e2 = ("s", c + 17, other(refseq[c + 17]))
+        t = (hap_reads(refseq, e1, lo, c, rl, step, "ta", 0.5, seed + 1)
+             + hap_reads(refseq, e2, c - 290, hi, rl, step, "tb", 0.5, seed + 3))
+        n = hap_reads(refseq, None, lo, hi, rl, step, "n", 0, seed + 2)
+    elif name == "adjacent_complex":
+        # two adjacent substitutions -> complex event
+        seq2 = refseq
+        e1 = ("s", c, other(refseq[c]))
+        t = hap_reads(seq2, e1, lo, hi, rl, step, "t", 0.5, seed + 1)
+        # overwrite: apply second sub on top by editing seqs directly
+        for al in t:
+            p2 = c + 1
+            if al.pos <= p2 < al.pos + rl and al.seq[p2 - al.pos] == refseq[p2] and al.seq[c - al.pos] != refseq[c]:
+                s = al.seq
+                al.seq = s[: p2 - al.pos] + other(refseq[p2]) + s[p2 - al.pos + 1 :]
+                al.tags["MD"] = ("Z", md_for(refseq[al.pos : al.pos + rl], al.seq))
+        n = hap_reads(refseq, None, lo, hi, rl, step, "n", 0, seed + 2)
+    elif name == "str_indel":
+        # homopolymer run with a 1bp somatic expansion
+        run_start = c - 6
+        refseq = refseq[:run_start] + "A" * 12 + refseq[run_start + 12 :]
+        edit = ("i", run_start + 6, "A")
+        t = hap_reads(refseq, edit, lo, hi, rl, step, "t", 0.6, seed + 1)
+        n = hap_reads(refseq, None, lo, hi, rl, step, "n", 0, seed + 2)
+    elif name == "quality_trimmed":
+        edit = ("s", c, other(refseq[c]))
+        t = hap_reads(refseq, edit, lo, hi, rl, step, "t", 0.5, seed + 1)
+        n = hap_reads(refseq, None, lo, hi, rl, step, "n", 0, seed + 2)
+        for al in t + n:
+            # low-quality 10bp tails -> exercises the 5'/3' trim path
+            al.qual = "#" * 10 + "I" * (len(al.seq) - 20) + "#" * 10
+    elif name == "random_storm":
+        edits = []
+        for _ in range(6):
+            p = rng.randint(c - 250, c + 250)
+            edits.append(("s", p, other(refseq[p])))
+        t = []
+        n = []
+        for idx, e in enumerate(edits):
+            t += hap_reads(refseq, e, max(0, e[1] - 150), min(L, e[1] + 150),
+                           rl, 25, f"t{idx}_", rng.random(), seed + idx)
+            n += hap_reads(refseq, e if rng.random() < 0.3 else None,
+                           max(0, e[1] - 150), min(L, e[1] + 150),
+                           rl, 25, f"n{idx}_", rng.random() * 0.5, seed + 50 + idx)
+        region = f"chr1:{c - 260}-{c + 260}"
+    else:
+        raise ValueError(name)
+    return refseq, t, n, region
+
+
+ALL_SCENARIOS = [
+    "somatic_snv", "shared_snv", "normal_only_snv", "somatic_ins",
+    "somatic_del", "low_vaf_snv", "two_snvs", "adjacent_complex",
+    "str_indel", "quality_trimmed", "random_storm",
+]
