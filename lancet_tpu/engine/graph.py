@@ -80,6 +80,9 @@ class Graph:
         self.read_cycles = 0
         self.bx_table_tmr: dict[str, set[str]] = {}
         self.bx_table_nml: dict[str, set[str]] = {}
+        # when set, process_path defers alignment+extraction to the caller
+        # (TPU batch mode); None = align/extract inline (oracle mode)
+        self.path_sink = None
 
     # ------------------------------------------------------------------
     def set_k(self, k: int) -> None:
@@ -783,184 +786,20 @@ class Graph:
     # path -> variants (ref: Graph.cc:788-1220)
     # ------------------------------------------------------------------
     def process_path(self, path: Path, ref, complete: int) -> None:
-        refseq = ref.seq
-        HD_CUTOFF = 5
-        path.match_bp = path.snp_bp = path.ins_bp = path.del_bp = 0
+        """Capture the path as an array-based job, align (immediately in
+        oracle mode, deferred to a device batch when `path_sink` is set),
+        and extract variants (engine.extract)."""
+        from .extract import finish_path, make_path_job
 
-        coverageN = path.cov_distr("N")
-        coverageT = path.cov_distr("T")
-        pathseq = path.str()
-
-        hd = hamming_distance(refseq, pathseq)
-        if hd == -1 or hd > HD_CUTOFF:
-            ref_aln, path_aln = global_align_aff(refseq, pathseq)
+        job = make_path_job(self, path, ref)
+        if self.path_sink is not None:
+            self.path_sink(job)
         else:
-            ref_aln, path_aln = refseq, pathseq
+            if job.needs_dp:
+                ref_aln, path_aln = global_align_aff(job.refseq, job.pathseq)
+            else:
+                ref_aln, path_aln = job.refseq, job.pathseq
+            finish_path(job, ref_aln, path_aln, self.cfg, self.vdb)
 
-        try:
-            self._scan_alignment(path, ref, refseq, pathseq, ref_aln, path_aln,
-                                 coverageN, coverageT)
-        except (IndexError, ValueError):
-            # mirrors the reference's catch(std::out_of_range) swallow
-            # (Graph.cc:1213-1218)
-            pass
-
-        # perfect/withsnps/... classification is verbose-only; still update
-        # the per-path counters used by it
         for n in path.nodes:
             n.on_ref_path += 1
-
-    def _scan_alignment(self, path, ref, refseq, pathseq, ref_aln, path_aln,
-                        coverageN, coverageT) -> None:
-        K = self.K
-        pos_in_ref = 0
-        refpos = 0
-        pathpos = 0
-        code = "?"
-        transcripts: list[Transcript] = []
-
-        for i in range(len(ref_aln)):
-            prev_code = code
-            if ref_aln[i] == "-":
-                code = "^"
-                pos_in_ref = refpos
-                pathpos += 1
-            elif path_aln[i] == "-":
-                code = "v"
-                pos_in_ref = refpos
-                refpos += 1
-            else:
-                code = "=" if ref_aln[i] == path_aln[i] else "x"
-                pos_in_ref = refpos
-                refpos += 1
-                pathpos += 1
-
-            if ref_aln[i] == path_aln[i]:
-                path.match_bp += 1
-            elif ref_aln[i] == "-":
-                path.ins_bp += 1
-            elif path_aln[i] == "-":
-                path.del_bp += 1
-            else:
-                path.snp_bp += 1
-
-            spanner = path.pathcontig(pathpos)
-            if spanner is None:
-                break
-            within_tumor_node = spanner.is_status_cnt(ord("T"))
-
-            P = pathpos - 1
-            COVn = coverageN[P]
-            COVt = coverageT[P]
-            REFn = ref.get_cov_struct_at(pos_in_ref + ref.trim5, NML)
-            REFt = ref.get_cov_struct_at(pos_in_ref + ref.trim5, TMR)
-
-            if code != "=":
-                rrpos = pos_in_ref + ref.refstart + ref.trim5
-                ts = len(transcripts)
-                pr = i - 1
-                while pr >= 0 and ref_aln[pr] not in "ACGT":
-                    pr -= 1
-                pa = i - 1
-                while pa >= 0 and path_aln[pa] not in "ACGT":
-                    pa -= 1
-                if pr < 0 or pa < 0:
-                    raise IndexError("leading-gap alignment (C++ UB territory)")
-
-                if ts > 0 and prev_code != "=":
-                    t = transcripts[ts - 1]
-                    if within_tumor_node:
-                        t.is_somatic = True
-                    t.ref += ref_aln[i]
-                    t.qry += path_aln[i]
-                    t.end_pos = P
-                    t.ref_end_pos = pos_in_ref
-                    if code == "^" and t.code == code and t.pos == rrpos:
-                        t.add_alt_cov_nml(COVn)
-                        t.add_alt_cov_tmr(COVt)
-                    elif code == "v" and t.code == code and (t.pos + len(t.ref)) == rrpos:
-                        t.add_ref_cov_nml(REFn)
-                        t.add_ref_cov_tmr(REFt)
-                    elif code == "x" or t.code != code:
-                        t.code = "c"
-                        t.add_alt_cov_nml(COVn)
-                        t.add_alt_cov_tmr(COVt)
-                        t.add_ref_cov_nml(REFn)
-                        t.add_ref_cov_tmr(REFt)
-                else:
-                    transcripts.append(Transcript(
-                        rrpos, pos_in_ref, P + 1, code, ref_aln[i], path_aln[i],
-                        COVn, COVt, REFn, REFt, ref_aln[pr], path_aln[pa],
-                        P, pos_in_ref, within_tumor_node))
-
-        for t in transcripts:
-            # K-bp post-event coverage resync for indels (Graph.cc:1040-1068)
-            if t.code != "x":
-                for j in range(K + 1):
-                    idx1 = t.end_pos + j
-                    if idx1 < coverageN.shape[0]:
-                        spanner = path.pathcontig(idx1)
-                        if spanner is None:
-                            break
-                        if spanner.is_status_cnt(ord("T")):
-                            t.is_somatic = True
-                        t.add_alt_cov_nml(coverageN[idx1])
-                        t.add_alt_cov_tmr(coverageT[idx1])
-                    idx2 = t.ref_end_pos + ref.trim5 + j
-                    t.add_ref_cov_nml(ref.get_cov_struct_at(idx2, NML))
-                    t.add_ref_cov_tmr(ref.get_cov_struct_at(idx2, TMR))
-
-            t.update_stats()
-
-            RCNF, RCNR = t.min_ref_cov_N[0], t.min_ref_cov_N[1]
-            RCTF, RCTR = t.min_ref_cov_T[0], t.min_ref_cov_T[1]
-            ACNF = t.get_min_cov_N_fwd()
-            ACNR = t.get_min_cov_N_rev()
-            if t.code != "x":
-                ACNF = t.get_min_non0_cov_N_fwd()
-                ACNR = t.get_min_non0_cov_N_rev()
-            ACTF = t.get_min_cov_T_fwd()
-            ACTR = t.get_min_cov_T_rev()
-
-            HP0RN, HP1RN, HP2RN = t.min_ref_cov_N[4], t.min_ref_cov_N[5], t.min_ref_cov_N[6]
-            HP0RT, HP1RT, HP2RT = t.min_ref_cov_T[4], t.min_ref_cov_T[5], t.min_ref_cov_T[6]
-            HP0AN = t.get_min_cov_N_hp(0)
-            HP1AN = t.get_min_cov_N_hp(1)
-            HP2AN = t.get_min_cov_N_hp(2)
-            HP0AT = t.get_min_cov_T_hp(0)
-            HP1AT = t.get_min_cov_T_hp(1)
-            HP2AT = t.get_min_cov_T_hp(2)
-
-            if t.is_somatic:
-                RCNF, RCNR = t.mean_ref_cov_N[0], t.mean_ref_cov_N[1]
-                RCTF, RCTR = t.mean_ref_cov_T[0], t.mean_ref_cov_T[1]
-                ACNF = ACNR = 0
-                HP0RT, HP1RT, HP2RT = t.mean_ref_cov_T[4], t.mean_ref_cov_T[5], t.mean_ref_cov_T[6]
-                HP0RN, HP1RN, HP2RN = t.mean_ref_cov_N[4], t.mean_ref_cov_N[5], t.mean_ref_cov_N[6]
-                HP0AN = HP1AN = HP2AN = 0
-
-            if ACNF > 0 or ACNR > 0 or ACTF > 0 or ACTR > 0:
-                ans, L, MOTIF = find_tandems(
-                    pathseq, self.cfg.max_unit_len, self.cfg.min_report_units,
-                    self.cfg.min_report_len, self.cfg.dist_from_str, t.start_pos)
-                STR = f"{L}{MOTIF}" if ans else ""
-
-                bx_ref_N = bx_ref_T = bx_alt_N = bx_alt_T = ""
-                if self.LR_MODE:
-                    bx_ref_N = ref.get_bx_set_at(t.ref_pos - 1, t.ref_end_pos - 1, refseq, NML)
-                    bx_ref_T = ref.get_bx_set_at(t.ref_pos - 1, t.ref_end_pos - 1, refseq, TMR)
-                    bx_alt_N = self.get_bx_set_at(t.start_pos - 2, t.end_pos - 1, pathseq, NML)
-                    bx_alt_T = self.get_bx_set_at(t.start_pos - 2, t.end_pos - 1, pathseq, TMR)
-
-                v = Variant(
-                    lr_mode=self.LR_MODE, chrom=ref.refchr, pos=t.pos - 1,
-                    ref_str=t.ref, alt_str=t.qry,
-                    rcn=(RCNF, RCNR), rct=(RCTF, RCTR),
-                    acn=(ACNF, ACNR), act=(ACTF, ACTR),
-                    hprn=(HP1RN, HP2RN, HP0RN), hprt=(HP1RT, HP2RT, HP0RT),
-                    hpan=(HP1AN, HP2AN, HP0AN), hpat=(HP1AT, HP2AT, HP0AT),
-                    prev_bp_ref=t.prev_bp_ref, prev_bp_alt=t.prev_bp_alt,
-                    kmer=self.K, str_tag=STR, code=t.code,
-                    bx_ref_n=bx_ref_N, bx_ref_t=bx_ref_T,
-                    bx_alt_n=bx_alt_N, bx_alt_t=bx_alt_T)
-                self.vdb.add_var(v)

@@ -123,7 +123,7 @@ class ShardCounters:
 class Microassembler:
     """One shard's worker (thread equivalent)."""
 
-    def __init__(self, cfg, readers=None):
+    def __init__(self, cfg, readers=None, engine: str = "oracle"):
         self.cfg = cfg
         self.filters = cfg.filters
         self.vdb = VariantDB(cfg.lr_mode)
@@ -131,6 +131,8 @@ class Microassembler:
         self.readers = readers  # (tumor_reader, normal_reader)
         self.readgroups: set[str] = {"null"}
         self.graph_cnt = 0
+        self.engine = engine
+        self.path_jobs = []  # deferred PathJobs (tpu engine)
 
     # ------------------------------------------------------------------
     def is_active_region(self, alns, refinfo, code: int) -> bool:
@@ -342,6 +344,8 @@ class Microassembler:
 
         if active_t or active_n:
             g = Graph(cfg, self.filters, self.vdb)
+            if self.engine == "tpu":
+                g.path_sink = self.path_jobs.append
             skip_t = self.extract_reads(tumor_alns, g, refinfo, TMR)
             skip_n = self.extract_reads(normal_alns, g, refinfo, NML)
             if not skip_t and not skip_n:
@@ -358,3 +362,27 @@ class Microassembler:
         std::map reftable order, Microassembler.cc:779)."""
         for w in sorted(windows, key=lambda w: w.name):
             self.process_window(w)
+        if self.engine == "tpu":
+            self.flush_path_jobs()
+
+    def flush_path_jobs(self) -> None:
+        """Batch-align deferred paths on device, then extract variants in
+        the original (window, path) order so the order-sensitive dedup
+        matches the oracle exactly."""
+        from .extract import finish_path
+
+        jobs = self.path_jobs
+        self.path_jobs = []
+        dp_jobs = [j for j in jobs if j.needs_dp]
+        aligned = {}
+        if dp_jobs:
+            from ..tpu.align_batch import batch_align
+
+            results = batch_align([(j.refseq, j.pathseq) for j in dp_jobs])
+            aligned = {id(j): r for j, r in zip(dp_jobs, results)}
+        for j in jobs:
+            if j.needs_dp:
+                ref_aln, path_aln = aligned[id(j)]
+            else:
+                ref_aln, path_aln = j.refseq, j.pathseq
+            finish_path(j, ref_aln, path_aln, self.cfg, self.vdb)

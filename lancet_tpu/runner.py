@@ -65,7 +65,7 @@ def run(cfg: Config, command_line: str = "lancet-tpu", date: str | None = None,
 
     workers = []
     for shard in shards:
-        ma = Microassembler(cfg_eff, readers=(tumor, normal))
+        ma = Microassembler(cfg_eff, readers=(tumor, normal), engine=engine)
         ma.process_windows(shard)
         workers.append(ma)
 

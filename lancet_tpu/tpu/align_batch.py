@@ -1,0 +1,190 @@
+"""Batched anti-diagonal (wavefront) Gotoh alignment on device.
+
+Same recurrence, tie-breaking, and traceback semantics as the oracle
+(`engine.align`, itself fuzz-verified bit-exact against the reference's
+align.cc). The DP fills on device as a `lax.scan` over anti-diagonals with
+the pair axis vectorized (VPU lanes); packed traceback planes are returned
+in diagonal layout and the O(n+m) traceback runs on host.
+
+Score/traceback parity with the oracle is asserted in tests/test_tpu_align.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..engine.align import GAP_EXTEND, GAP_OPEN, MATCH, MISMATCH
+
+# traceback codes (match engine.align)
+_STAR, _DIAG, _LEFT, _UP, _XEXT, _YEXT = 0, 1, 2, 3, 4, 5
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _dp_fill(S, T, n_len, m_len, N, M):
+    """S:[P,N+1] uint8 (1-indexed), T:[P,M+1] uint8.
+    Returns packed tb planes [D, P, N+1] uint8 where D = N+M-1 holds
+    diagonals d=2..N+M; tb[i] at diag d corresponds to cell (i, d-i)."""
+    P = S.shape[0]
+    idx = jnp.arange(N + 1)
+
+    # reversed T for diagonal gathers: TR[p, x] = T[p, M - x]; padded so
+    # dynamic slices never clamp
+    TR = jnp.concatenate([T[:, ::-1], jnp.zeros((P, N + 1), T.dtype)], axis=1)
+
+    go = jnp.int32(GAP_OPEN)
+    ge = jnp.int32(GAP_EXTEND)
+
+    def boundary(d):
+        return go + jnp.int32(d) * ge
+
+    # diag d=1 state
+    M1 = jnp.where(idx[None, :] <= 1, boundary(1), 0).astype(jnp.int32) * jnp.ones((P, 1), jnp.int32)
+    X1 = jnp.where(idx[None, :] == 0, boundary(1), 0).astype(jnp.int32) * jnp.ones((P, 1), jnp.int32)
+    Y1 = jnp.where(idx[None, :] == 1, boundary(1), 0).astype(jnp.int32) * jnp.ones((P, 1), jnp.int32)
+    M0 = jnp.zeros((P, N + 1), jnp.int32)  # diag d=0: M[0][0]=0
+
+    def step(carry, d):
+        Mp, Xp, Yp, Mp2 = carry
+        # shift by one: value at index i-1
+        Mp_s = jnp.roll(Mp, 1, axis=1)
+        Xp_s = jnp.roll(Xp, 1, axis=1)
+        Mp2_s = jnp.roll(Mp2, 1, axis=1)
+
+        # X (vertical, consumes S): tie -> open (_LEFT)
+        ext = Xp_s + ge
+        opn = Mp_s + go
+        xgt = ext > opn
+        Xc = jnp.where(xgt, ext, opn)
+        xtb = xgt  # True = extend
+
+        # Y (horizontal, consumes T): tie -> open (_UP)
+        exty = Yp + ge
+        opny = Mp + go
+        ygt = exty > opny
+        Yc = jnp.where(ygt, exty, opny)
+        ytb = ygt
+
+        # T char at j = d - i  ->  TR[p, M - d + i]
+        start = jnp.maximum(M - d, 0)
+        tc = jax.lax.dynamic_slice_in_dim(TR, start, N + 1, axis=1)
+        # when M - d < 0 the start was clamped at 0; realign with roll
+        # (wrapped lanes land in the invalid i<d-M region)
+        shift = jnp.maximum(d - M, 0)
+        tc = jnp.roll(tc, shift, axis=1)
+        sc = S  # S char at i (1-indexed)
+        sub = jnp.where(sc == tc, jnp.int32(MATCH), jnp.int32(MISMATCH))
+        diagv = Mp2_s + sub
+
+        best = diagv
+        mtb = jnp.full((P, N + 1), _DIAG, jnp.uint8)
+        xw = Xc > best
+        best = jnp.where(xw, Xc, best)
+        mtb = jnp.where(xw, jnp.uint8(_LEFT), mtb)
+        yw = Yc > best
+        best = jnp.where(yw, Yc, best)
+        mtb = jnp.where(yw, jnp.uint8(_UP), mtb)
+        Mc = best
+
+        # boundary overwrites: i==0 (cell (0,d)) and i==d (cell (d,0))
+        b = boundary(d)
+        is0 = idx[None, :] == 0
+        isd = idx[None, :] == d
+        Mc = jnp.where(is0 | isd, b, Mc)
+        Xc = jnp.where(is0, b, Xc)
+        Yc = jnp.where(isd, b, Yc)
+
+        tb = (mtb | (xtb.astype(jnp.uint8) << 2) | (ytb.astype(jnp.uint8) << 3))
+        return (Mc, Xc, Yc, Mp), tb
+
+    ds = jnp.arange(2, N + M + 1)
+    _, tbs = jax.lax.scan(step, (M1, X1, Y1, M0), ds)
+    return tbs
+
+
+def batch_align(pairs: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """Align [(S, T), ...] with global affine Gotoh; returns aligned string
+    pairs identical to engine.align.global_align_aff."""
+    if not pairs:
+        return []
+    P = len(pairs)
+    N = _round_up(max(len(s) for s, _ in pairs), 128)
+    M = _round_up(max(len(t) for _, t in pairs), 128)
+    S = np.zeros((P, N + 1), dtype=np.uint8)
+    T = np.zeros((P, M + 1), dtype=np.uint8)
+    n_len = np.zeros(P, np.int32)
+    m_len = np.zeros(P, np.int32)
+    for p, (s, t) in enumerate(pairs):
+        S[p, 1 : len(s) + 1] = np.frombuffer(s.encode("latin-1"), np.uint8)
+        T[p, 1 : len(t) + 1] = np.frombuffer(t.encode("latin-1"), np.uint8)
+        n_len[p] = len(s)
+        m_len[p] = len(t)
+
+    tbs = np.asarray(_dp_fill(jnp.asarray(S), jnp.asarray(T),
+                              jnp.asarray(n_len), jnp.asarray(m_len), N, M))
+
+    out = []
+    for p, (s, t) in enumerate(pairs):
+        out.append(_traceback(tbs, p, s, t))
+    return out
+
+
+def _traceback(tbs: np.ndarray, p: int, S: str, T: str) -> tuple[str, str]:
+    """Host traceback over diagonal-layout packed tb planes (mirrors
+    engine.align traceback incl. the forced-gap state machine)."""
+    i, j = len(S), len(T)
+    s_out: list[str] = []
+    t_out: list[str] = []
+    forcex = forcey = False
+    while i > 0 or j > 0:
+        if i == 0:
+            s_out.append("-")
+            t_out.append(T[j - 1])
+            j -= 1
+            continue
+        if j == 0:
+            s_out.append(S[i - 1])
+            t_out.append("-")
+            i -= 1
+            continue
+        tb = tbs[i + j - 2, p, i]
+        mtb = tb & 0x3
+        xext = (tb >> 2) & 1
+        yext = (tb >> 3) & 1
+        if forcex:
+            s_out.append(S[i - 1])
+            t_out.append("-")
+            if not xext:
+                forcex = False
+            i -= 1
+        elif mtb == _LEFT:
+            s_out.append(S[i - 1])
+            t_out.append("-")
+            if xext:
+                forcex = True
+            i -= 1
+        elif forcey:
+            s_out.append("-")
+            t_out.append(T[j - 1])
+            if not yext:
+                forcey = False
+            j -= 1
+        elif mtb == _UP:
+            s_out.append("-")
+            t_out.append(T[j - 1])
+            if yext:
+                forcey = True
+            j -= 1
+        else:  # diag
+            s_out.append(S[i - 1])
+            t_out.append(T[j - 1])
+            i -= 1
+            j -= 1
+    return "".join(reversed(s_out)), "".join(reversed(t_out))
