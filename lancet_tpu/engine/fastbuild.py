@@ -1,0 +1,390 @@
+"""Vectorized colored-DBG construction (hot loop #1, SURVEY.md §3).
+
+Replaces the per-character `load_sequence` stream (Graph.cc:119-349) with
+numpy array passes over all reads at once, producing *identical* end state:
+
+- canonical mers via row-wise lexicographic min against the revcomp
+- per-node coverage counters, per-base min-quality counts (canonical
+  orientation), status colors, tumor/normal flags
+- edge lists ordered by first-occurrence time in the reference's exact
+  visit stream (BFS path enumeration order depends on this)
+- reference-window mer coverage table updates (last-write == final totals)
+- the mate-overlap dedup quirk (std::binary_search over unsorted,
+  push-ordered name vectors) replayed exactly, but only for candidate
+  visits (zero cost for unpaired reads)
+- node materialization only for nodes surviving the low-coverage prune,
+  inserted into the libstdc++-order map in first-occurrence order
+
+The semantics are defined by `Graph.load_sequence` (the oracle); equality
+is asserted by tests/test_fastbuild.py and the golden corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..cpp import std_binary_search
+from .mer import F, R
+from .node import FF, FR, RF, RR, FWD, REV, NML, TMR, Edge, Node
+from .graph import REF_LABEL
+
+_COMP = np.zeros(256, np.uint8)
+for a, b in zip(b"ACGTacgtNn", b"TGCAtgcaNn"):
+    _COMP[a] = b
+
+_DIR_TABLE = {  # (u_ori_is_F, v_ori_is_F) -> (fdir, rdir)
+    (True, True): (FF, RR),
+    (True, False): (FR, FR),
+    (False, True): (RF, RF),
+    (False, False): (RR, FF),
+}
+
+
+def _sliding(arr: np.ndarray, k: int) -> np.ndarray:
+    return np.lib.stride_tricks.sliding_window_view(arr, k)
+
+
+def build_graph_fast(graph, refinfo) -> None:
+    """Equivalent of Graph.buildgraph (fast path; no LR mode)."""
+    assert not graph.LR_MODE
+    graph.ref = refinfo
+    if not graph.is_ref_added:
+        qv = "K" * len(refinfo.rawseq)
+        graph.add_read("ref", refinfo.hdr, refinfo.rawseq, qv, "R",
+                       REF_LABEL, FWD, 0, "null", 0)
+        graph.is_ref_added = True
+
+    K = graph.K
+    minq = graph.MIN_QUAL_CALL
+
+    # ---- gather post-trim read views -------------------------------------
+    seqs = []
+    quals = []
+    metas = []  # (readid, sample, strand, is_ref, name, mate_order)
+    for i, info in enumerate(graph.readid2info):
+        if info.isjunk:
+            continue
+        ln = len(info.seq)
+        t5, t3 = info.trm5, info.trm3
+        s = info.seq[t5 : ln - t3] if (t5 or t3) else info.seq
+        q = info.qv[t5 : ln - t3] if (t5 or t3) else info.qv
+        if info.label != REF_LABEL:
+            graph.totalreadbp += len(s)
+        if len(s) - K <= 0:
+            continue
+        seqs.append(np.frombuffer(s.encode("latin-1"), np.uint8))
+        quals.append(np.frombuffer(q.encode("latin-1"), np.uint8))
+        metas.append((i, info.label, info.strand, info.label == REF_LABEL,
+                      info.readname, info.mate_order))
+
+    if not seqs:
+        refinfo.compute_coverage(TMR)
+        refinfo.compute_coverage(NML)
+        return
+
+    # ---- per-read mer streams -------------------------------------------
+    # Collect, per read: canonical mer rows, orientation, per-pair quality
+    # gate, canonical-oriented quality rows.
+    mer_rows = []       # [n_mers, K] uint8 canonical
+    ori_f = []          # [n_mers] bool: canonical orientation is F
+    q_rows = []         # [n_mers, K] canonical-oriented qualities
+    pairq = []          # [n_mers] bool: whole (K+1) window of the PAIR ok
+    # pairq[p] corresponds to pair (p, p+1); last mer has no pair
+    read_of = []        # read meta index per mer
+    pos_of = []         # mer offset within read
+
+    for ridx, (s, q) in enumerate(zip(seqs, quals)):
+        n = s.size - K + 1  # mers per read
+        Mrows = _sliding(s, K)
+        Qrows = _sliding(q, K)
+        # rc windows: sliding over the reversed complement, row j of which
+        # is revcomp(s[L-K-j : L-j]); flip rows to index by fwd offset
+        RCrows = _sliding(_COMP[s][::-1], K)[::-1]
+        neq = Mrows != RCrows
+        anyneq = neq.any(axis=1)
+        first = neq.argmax(axis=1)
+        rows_idx = np.arange(n)
+        less = Mrows[rows_idx, first] < RCrows[rows_idx, first]
+        isF = anyneq & less  # palindromes -> R (strict <)
+        canon = np.where(isF[:, None], Mrows, RCrows)
+        qcan = np.where(isF[:, None], Qrows, Qrows[:, ::-1])
+        # per-window "all >= minq" via windowed count of below-threshold
+        below = (q < minq).astype(np.int32)
+        cb = np.concatenate([[0], np.cumsum(below)])
+        # window of K+1 bases starting at p: pairs (p, p+1)
+        win_ok = (cb[K + 1 :] - cb[: -(K + 1)]) == 0 if s.size >= K + 1 else np.zeros(0, bool)
+        mer_rows.append(canon)
+        ori_f.append(isF)
+        q_rows.append(qcan)
+        pq = np.zeros(n, bool)
+        if win_ok.size:
+            pq[: win_ok.size] = win_ok
+        pairq.append(pq)
+        read_of.append(np.full(n, ridx, np.int32))
+        pos_of.append(np.arange(n, dtype=np.int32))
+
+    mer_rows = np.concatenate(mer_rows)
+    ori_f = np.concatenate(ori_f)
+    q_rows = np.concatenate(q_rows)
+    pairq = np.concatenate(pairq)
+    read_of = np.concatenate(read_of)
+    pos_of = np.concatenate(pos_of)
+    n_mers = mer_rows.shape[0]
+
+    # ---- unique nodes ----------------------------------------------------
+    view = mer_rows.view([("", np.uint8)] * K).ravel()
+    uniq, inv = np.unique(view, return_inverse=True)
+    n_nodes = uniq.shape[0]
+    node_ids = inv.astype(np.int32)
+    mer_strings = [bytes(u) .decode("latin-1") for u in
+                   uniq.view(np.uint8).reshape(n_nodes, K)]
+
+    meta_sample = np.array([m[1] for m in metas], np.int32)
+    meta_strand = np.array([m[2] for m in metas], np.int32)
+    meta_isref = np.array([m[3] for m in metas], bool)
+    meta_order = np.array([m[5] for m in metas], np.int32)
+
+    samp = meta_sample[read_of]
+    strand = meta_strand[read_of]
+    isref = meta_isref[read_of]
+    order = meta_order[read_of]
+
+    reads_n = len(seqs)
+    read_nmers = np.array([s.size - K + 1 for s in seqs], np.int32)
+    read_start_stream = np.concatenate([[0], np.cumsum(read_nmers)])[:-1]
+
+    # stream/pair bookkeeping: pair p exists at positions pos < nmers-1
+    is_last = pos_of == (read_nmers[read_of] - 1)
+
+    # ---- creation (first-occurrence) times -------------------------------
+    # events: as u of pair at (stream) time 2*g, as v of pair (pos-1) at
+    # 2*(g-1)+1 where g = global pair index == global mer index here
+    g = np.arange(n_mers, dtype=np.int64)
+    tu = 2 * g
+    tv = 2 * (g - 1) + 1
+    t_created = np.where(pos_of == 0, tu, np.minimum(tu, tv))
+    t_created = np.where(is_last, tv, t_created)  # last mer: only a v event
+    first_time = np.full(n_nodes, np.iinfo(np.int64).max, np.int64)
+    np.minimum.at(first_time, node_ids, t_created)
+
+    # ---- mate-overlap dedup (quirk replay, candidates only) --------------
+    # a coverage visit of mer m by read r (order o in {1,2}) is skipped iff
+    # std::binary_search over the other-order push list (at that time)
+    # finds r's name. Candidates: nodes where both orders pushed the same
+    # fragment name.
+    skip_visit = np.zeros(n_mers, bool)
+    paired_mask = (order > 0) & ~isref
+    if paired_mask.any():
+        _replay_mate_dedup(graph, metas, node_ids, read_of, pos_of, order,
+                           is_last, skip_visit, read_nmers)
+
+    # ---- coverage counters ----------------------------------------------
+    cov_visit = ~isref & ~skip_visit
+    sel = cov_visit
+    fwd_t = np.bincount(node_ids[sel & (samp == TMR) & (strand == FWD)], minlength=n_nodes)
+    rev_t = np.bincount(node_ids[sel & (samp == TMR) & (strand == REV)], minlength=n_nodes)
+    fwd_n = np.bincount(node_ids[sel & (samp == NML) & (strand == FWD)], minlength=n_nodes)
+    rev_n = np.bincount(node_ids[sel & (samp == NML) & (strand == REV)], minlength=n_nodes)
+
+    # per-base minqv counts: [n_nodes, K] per (sample, strand)
+    qok = q_rows >= minq
+
+    def base_counts(mask):
+        out = np.zeros((n_nodes, K), np.int32)
+        if mask.any():
+            np.add.at(out, node_ids[mask], qok[mask].astype(np.int32))
+        return out
+
+    mqf_t = base_counts(sel & (samp == TMR) & (strand == FWD))
+    mqr_t = base_counts(sel & (samp == TMR) & (strand == REV))
+    mqf_n = base_counts(sel & (samp == NML) & (strand == FWD))
+    mqr_n = base_counts(sel & (samp == NML) & (strand == REV))
+
+    # ---- flags / status --------------------------------------------------
+    nml_visit = samp == NML  # unconditional (incl. dedup-skipped visits)
+    is_normal = np.zeros(n_nodes, bool)
+    is_normal[node_ids[nml_visit]] = True
+
+    # tumor: node gets T when it participates in a quality-clean pair
+    # (as u of pair pos, or as v of pair pos-1)
+    pair_ok = pairq & (samp == TMR) & ~is_last
+    t_nodes = np.zeros(n_nodes, bool)
+    if pair_ok.any():
+        idx = np.nonzero(pair_ok)[0]
+        t_nodes[node_ids[idx]] = True              # u side
+        t_nodes[node_ids[idx + 1]] = True          # v side (next mer)
+    is_tumor = t_nodes
+
+    # ---- edges -----------------------------------------------------------
+    # pair p: u=node_ids[p], v=node_ids[p+1] with dirs from orientations
+    pair_sel = ~is_last
+    pu = node_ids[pair_sel]
+    pidx = np.nonzero(pair_sel)[0]
+    pv = node_ids[pidx + 1]
+    uF = ori_f[pair_sel]
+    vF = ori_f[pidx + 1]
+    # dir codes: FF=0 FR=1 RF=2 RR=3
+    fdir_code = np.where(uF, np.where(vF, 0, 1), np.where(vF, 2, 3))
+    rdir_code = np.where(uF, np.where(vF, 3, 1), np.where(vF, 2, 0))
+    tu_pair = 2 * pidx.astype(np.int64)
+    tv_pair = tu_pair + 1
+
+    # unique directed (src, dst, dir) with min time
+    src = np.concatenate([pu, pv])
+    dst = np.concatenate([pv, pu])
+    dcode = np.concatenate([fdir_code, rdir_code])
+    etime = np.concatenate([tu_pair, tv_pair])
+    ekey = (src.astype(np.int64) * n_nodes + dst) * 4 + dcode
+    ukey, einv = np.unique(ekey, return_inverse=True)
+    emintime = np.full(ukey.shape[0], np.iinfo(np.int64).max, np.int64)
+    np.minimum.at(emintime, einv, etime)
+    esrc = (ukey // 4) // n_nodes
+    edst = (ukey // 4) % n_nodes
+    edir = ukey % 4
+    eorder = np.lexsort((emintime,))  # stable by time
+
+    # ---- reference mer coverage table ------------------------------------
+    refinfo.index_mers()
+    mer_in_ref = np.array([m in refinfo.mertable_nml for m in mer_strings])
+    for sample, fwd_c, rev_c, table in (
+            (TMR, fwd_t, rev_t, refinfo.mertable_tmr),
+            (NML, fwd_n, rev_n, refinfo.mertable_nml)):
+        seen_f = np.zeros(n_nodes, bool)
+        seen_f[node_ids[sel & (samp == sample) & (strand == FWD)]] = True
+        seen_r = np.zeros(n_nodes, bool)
+        seen_r[node_ids[sel & (samp == sample) & (strand == REV)]] = True
+        for nid in np.nonzero(mer_in_ref & (seen_f | seen_r))[0]:
+            row = table[mer_strings[nid]]
+            if seen_f[nid]:
+                row[0] = fwd_c[nid]
+            if seen_r[nid]:
+                row[1] = rev_c[nid]
+    refinfo.compute_coverage(TMR)
+    refinfo.compute_coverage(NML)
+
+    # ---- prune decision (removeLowCov semantics, compid 0) ---------------
+    # mark_ref_nodes + removeLowCov(False, 0) are fused here: touch_ref is
+    # a pure lookup at k-mer stage and component is 0 for all nodes.
+    tot_q = mqf_t + mqr_t + mqf_n + mqr_n  # [n_nodes, K]
+    mincov_qv = tot_q.min(axis=1)
+    tot_cov = fwd_t + rev_t + fwd_n + rev_n
+    avgcov = graph.totalreadbp / len(refinfo.rawseq)
+    low = ((mincov_qv <= graph.LOW_COV_THRESHOLD)
+           | (mincov_qv <= graph.MIN_COV_RATIO * avgcov)
+           | (((fwd_t + rev_t) == 1) & ((fwd_n + rev_n) == 1)))
+
+    # ---- materialize survivors ------------------------------------------
+    # map insertion order = node creation order in the visit stream
+    create_order = np.argsort(first_time, kind="stable")
+    nodes = graph.nodes
+    for nid in create_order:
+        nodes[mer_strings[nid]] = None
+    for nid in np.nonzero(low)[0]:
+        del nodes[mer_strings[nid]]
+
+    # adjacency restricted to survivors
+    surv = ~low
+    edge_keep = surv[esrc] & surv[edst]
+
+    dirs = (FF, FR, RF, RR)
+    node_objs: dict[int, Node] = {}
+    for nid in np.nonzero(surv)[0]:
+        node = Node(mer_strings[nid])
+        node.min_qual = minq
+        node.K = K
+        node.cov_tmr_fwd = float(fwd_t[nid])
+        node.cov_tmr_rev = float(rev_t[nid])
+        node.cov_nml_fwd = float(fwd_n[nid])
+        node.cov_nml_rev = float(rev_n[nid])
+        node.is_tumor = bool(is_tumor[nid])
+        node.is_normal = bool(is_normal[nid])
+        cd_t = np.zeros((K, 10), np.int32)
+        cd_t[:, 0] = fwd_t[nid]
+        cd_t[:, 1] = rev_t[nid]
+        cd_t[:, 2] = mqf_t[nid]
+        cd_t[:, 3] = mqr_t[nid]
+        cd_n = np.zeros((K, 10), np.int32)
+        cd_n[:, 0] = fwd_n[nid]
+        cd_n[:, 1] = rev_n[nid]
+        cd_n[:, 2] = mqf_n[nid]
+        cd_n[:, 3] = mqr_n[nid]
+        node.cov_distr_tmr = cd_t
+        node.cov_distr_nml = cd_n
+        status = b"E"
+        if is_tumor[nid] and is_normal[nid]:
+            status = b"B"
+        elif is_tumor[nid]:
+            status = b"T"
+        elif is_normal[nid]:
+            status = b"N"
+        node.cov_status = bytearray(status * K)
+        node.touch_ref = bool(mer_in_ref[nid])
+        node.compute_min_cov()
+        node_objs[nid] = node
+
+    for ei in eorder:
+        if not edge_keep[ei]:
+            continue
+        s_id = int(esrc[ei])
+        e = Edge(mer_strings[int(edst[ei])], dirs[int(edir[ei])])
+        node_objs[s_id].edges.append(e)
+
+    for nid, node in node_objs.items():
+        nodes[node.nodeid] = node
+
+
+def _replay_mate_dedup(graph, metas, node_ids, read_of, pos_of, order,
+                       is_last, skip_visit, read_nmers) -> None:
+    """Exact replay of hasOverlappingMate for candidate nodes.
+
+    Per pair (u = mer i, v = mer i+1) the reference executes, in order:
+    push(u, name, order); push(v, name, order); [pos==0] probe(u);
+    probe(v) — probes run std::binary_search over the OTHER mate-order's
+    push-ordered (unsorted) list (Graph.cc:232-317, Node.cc:638-671).
+    Each mer gets exactly one coverage probe: at its u-event when pos==0,
+    else at its v-event of the previous pair.
+
+    Only nodes where both mate orders pushed a shared fragment name can
+    ever probe true; the replay runs just for those (zero cost for
+    unpaired libraries)."""
+    names = [m[4] for m in metas]
+    by_node: dict[int, list[int]] = {}
+    cand = set()
+    seen = ({}, {})  # order 1, order 2 -> node -> set(names)
+    for i in range(node_ids.shape[0]):
+        o = int(order[i])
+        if o == 0:
+            continue
+        nid = int(node_ids[i])
+        nm = names[read_of[i]]
+        by_node.setdefault(nid, []).append(i)
+        seen[o - 1].setdefault(nid, set()).add(nm)
+        if nm in seen[2 - o].get(nid, ()):
+            cand.add(nid)
+
+    for nid in cand:
+        # event timeline for this node: (time, kind, mer_idx)
+        # kind 0 = push, 1 = probe
+        events: list[tuple[int, int, int]] = []
+        for i in by_node[nid]:
+            p = int(pos_of[i])
+            if not bool(is_last[i]):
+                events.append((4 * i, 0, i))           # push as u of pair i
+            if p > 0:
+                events.append((4 * (i - 1) + 1, 0, i))  # push as v of prev pair
+            if p == 0:
+                events.append((4 * i + 2, 1, i))        # probe at u-event
+            else:
+                events.append((4 * (i - 1) + 3, 1, i))  # probe at v-event
+        events.sort()
+        mate1: list[str] = []
+        mate2: list[str] = []
+        for _, kind, i in events:
+            o = int(order[i])
+            nm = names[read_of[i]]
+            if kind == 0:
+                (mate1 if o == 1 else mate2).append(nm)
+            else:
+                other = mate2 if o == 1 else mate1
+                if std_binary_search(other, nm):
+                    skip_visit[i] = True

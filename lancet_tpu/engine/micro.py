@@ -286,9 +286,15 @@ class Microassembler:
             if is_almost_repeat(refinfo.rawseq, k, self.cfg.max_mismatch):
                 continue
 
-            g.buildgraph(refinfo)
-            g.mark_ref_nodes()
-            g.remove_low_cov(False, 0)
+            use_fast = (self.engine == "tpu" and not self.cfg.lr_mode
+                        and not self.cfg.kmer_recovery)
+            if use_fast:
+                from .fastbuild import build_graph_fast
+                build_graph_fast(g, refinfo)  # fuses markRefNodes + low-cov prune
+            else:
+                g.buildgraph(refinfo)
+                g.mark_ref_nodes()
+                g.remove_low_cov(False, 0)
             numcomp = g.mark_connected_components()
 
             for c in range(1, numcomp + 1):
