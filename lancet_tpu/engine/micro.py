@@ -293,6 +293,9 @@ class Microassembler:
                 build_graph_fast(g, refinfo)  # fuses markRefNodes + low-cov prune
             else:
                 g.buildgraph(refinfo)
+                if self.cfg.kmer_recovery:
+                    from .error_corrector import mers_recovery
+                    mers_recovery(g, 2, self.cfg.min_qual_call)
                 g.mark_ref_nodes()
                 g.remove_low_cov(False, 0)
             numcomp = g.mark_connected_components()

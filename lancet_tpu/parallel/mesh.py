@@ -1,0 +1,104 @@
+"""Device mesh + sharded batched step.
+
+The reference's parallelism is share-nothing windows over pthreads with a
+serial merge (Lancet.cc:844-959). The TPU-native equivalent: a 1-D mesh
+over the window/pair axis; each device runs the batched kernels on its
+shard; per-step counters are reduced with psum and fixed-width per-shard
+results are gathered with all_gather (ICI collectives, no NCCL/MPI).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..engine.align import GAP_EXTEND, GAP_OPEN, MATCH, MISMATCH
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), ("w",))
+
+
+def _dp_scores_local(S, T, n_len, m_len):
+    """Per-shard wavefront Gotoh DP returning M[n, m] scores for the
+    shard's pairs (scores-only variant of tpu.align_batch used by the
+    sharded step; traceback planes stay shard-local in the full path)."""
+    P_, N1 = S.shape
+    M_ = T.shape[1] - 1
+    N = N1 - 1
+    go = jnp.int32(GAP_OPEN)
+    ge = jnp.int32(GAP_EXTEND)
+    idx = jnp.arange(N + 1)
+    TR = jnp.concatenate([T[:, ::-1], jnp.zeros((P_, N + 1), T.dtype)], axis=1)
+
+    def boundary(d):
+        return go + jnp.int32(d) * ge
+
+    M1 = jnp.where(idx[None, :] <= 1, boundary(1), 0) * jnp.ones((P_, 1), jnp.int32)
+    X1 = jnp.where(idx[None, :] == 0, boundary(1), 0) * jnp.ones((P_, 1), jnp.int32)
+    Y1 = jnp.where(idx[None, :] == 1, boundary(1), 0) * jnp.ones((P_, 1), jnp.int32)
+    M0 = jnp.zeros((P_, N + 1), jnp.int32)
+    # inside shard_map the carry must be marked varying along the mesh axis
+    try:
+        M1, X1, Y1, M0 = (jax.lax.pvary(x, ("w",)) for x in (M1, X1, Y1, M0))
+    except Exception:
+        pass  # outside shard_map / axis not bound
+
+    sc0 = jnp.zeros((P_,), jnp.int32)
+    try:
+        sc0 = jax.lax.pvary(sc0, ("w",))
+    except Exception:
+        pass
+
+    def step(carry, d):
+        Mp, Xp, Yp, Mp2, sc = carry
+        Mp_s = jnp.roll(Mp, 1, axis=1)
+        Xp_s = jnp.roll(Xp, 1, axis=1)
+        Mp2_s = jnp.roll(Mp2, 1, axis=1)
+        Xc = jnp.maximum(Xp_s + ge, Mp_s + go)
+        Yc = jnp.maximum(Yp + ge, Mp + go)
+        start = jnp.maximum(M_ - d, 0)
+        tc = jax.lax.dynamic_slice_in_dim(TR, start, N + 1, axis=1)
+        tc = jnp.roll(tc, jnp.maximum(d - M_, 0), axis=1)
+        sub = jnp.where(S == tc, jnp.int32(MATCH), jnp.int32(MISMATCH))
+        Mc = jnp.maximum(Mp2_s + sub, jnp.maximum(Xc, Yc))
+        b = boundary(d)
+        is0 = idx[None, :] == 0
+        isd = idx[None, :] == d
+        Mc = jnp.where(is0 | isd, b, Mc)
+        Xc = jnp.where(is0, b, Xc)
+        Yc = jnp.where(isd, b, Yc)
+        # capture the (n, m) cell when its diagonal is filled
+        val = jnp.take_along_axis(Mc, n_len[:, None], axis=1)[:, 0]
+        sc = jnp.where(d == n_len + m_len, val, sc)
+        return (Mc, Xc, Yc, Mp, sc), None
+
+    (_, _, _, _, sc), _ = jax.lax.scan(step, (M1, X1, Y1, M0, sc0),
+                                       jnp.arange(2, N + M_ + 1))
+    return sc
+
+
+def sharded_step(mesh: Mesh, S, T, n_len, m_len):
+    """One SPMD step over the pair axis: per-shard DP + collective stats.
+
+    Returns (scores[P], global_mean_score[1]) — the psum emulates the
+    reference's cross-thread counter merge (Lancet.cc:930-959)."""
+
+    def local(S_l, T_l, n_l, m_l):
+        sc = _dp_scores_local(S_l, T_l, n_l, m_l)
+        total = jax.lax.psum(jnp.sum(sc), "w")
+        cnt = jax.lax.psum(sc.shape[0], "w")
+        return sc, (total.astype(jnp.float32) / cnt) * jnp.ones((1,), jnp.float32)
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P("w", None), P("w", None), P("w"), P("w")),
+                   out_specs=(P("w"), P(None)))
+    return jax.jit(fn)(S, T, n_len, m_len)

@@ -109,14 +109,84 @@ def _dp_fill(S, T, n_len, m_len, N, M):
     return tbs
 
 
+# traceback op codes
+_OP_DIAG, _OP_SGAP, _OP_TGAP = 1, 2, 3
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _dp_and_traceback(S, T, n_len, m_len, N, M):
+    """DP fill + on-device traceback. Returns (ops[P, N+M], count[P])
+    where ops are emitted back-to-front (host reverses). Keeping the
+    traceback on device avoids shipping the O(n*m) tb planes over the
+    host link — only O(n+m) ops come back."""
+    tbs = _dp_fill(S, T, n_len, m_len, N, M)  # [D, P, N+1]
+    D = tbs.shape[0]
+    LMAX = N + M
+    Pn = S.shape[0]
+
+    def step(st, _):
+        i, j, fx, fy, k = st
+        # gather tb byte per pair: tbs[clip(i+j-2), p, clip(i)]
+        drow = jnp.clip(i + j - 2, 0, D - 1)
+        icol = jnp.clip(i, 0, N)
+        tb = tbs[drow, jnp.arange(Pn), icol]
+        mtb = tb & 3
+        xext = ((tb >> 2) & 1).astype(bool)
+        yext = ((tb >> 3) & 1).astype(bool)
+        done = (i == 0) & (j == 0)
+        is_i0 = (i == 0) & ~done
+        is_j0 = (~(i == 0)) & (j == 0)
+        inner = (i > 0) & (j > 0)
+        use_fx = inner & fx
+        use_left = inner & (~fx) & (mtb == _LEFT)
+        use_fy = inner & (~fx) & (mtb != _LEFT) & fy
+        use_up = inner & (~fx) & (~fy) & (mtb != _LEFT) & (mtb == _UP)
+        use_diag = inner & (~use_fx) & (~use_left) & (~use_fy) & (~use_up)
+        sgap = is_j0 | use_fx | use_left
+        tgap = is_i0 | use_fy | use_up
+        op = jnp.where(done, 0,
+                       jnp.where(use_diag, _OP_DIAG,
+                                 jnp.where(sgap, _OP_SGAP, _OP_TGAP)))
+        di = (sgap | use_diag).astype(jnp.int32)
+        dj = (tgap | use_diag).astype(jnp.int32)
+        fx_new = jnp.where(use_fx | use_left, xext, fx)
+        fy_new = jnp.where(use_fy | use_up, yext, fy)
+        k_new = jnp.where(done, k, k + 1)
+        return (i - di, j - dj, fx_new, fy_new, k_new), op.astype(jnp.uint8)
+
+    st0 = (n_len, m_len, jnp.zeros((Pn,), bool), jnp.zeros((Pn,), bool),
+           jnp.zeros((Pn,), jnp.int32))
+    (ii, jj, _, _, k), ops = jax.lax.scan(step, st0, None, length=LMAX)
+    return jnp.moveaxis(ops, 0, 1), k  # [P, LMAX], [P]
+
+
+def _decode(ops_rev: np.ndarray, k: int, S: str, T: str) -> tuple[str, str]:
+    """Rebuild aligned strings from back-to-front op codes."""
+    ops = ops_rev[:k][::-1]
+    s_take = ops != _OP_TGAP
+    t_take = ops != _OP_SGAP
+    s_idx = np.cumsum(s_take) - 1
+    t_idx = np.cumsum(t_take) - 1
+    Sa = np.frombuffer(S.encode("latin-1"), np.uint8)
+    Ta = np.frombuffer(T.encode("latin-1"), np.uint8)
+    dash = np.uint8(ord("-"))
+    s_chars = np.where(s_take, Sa[np.clip(s_idx, 0, max(len(S) - 1, 0))], dash)
+    t_chars = np.where(t_take, Ta[np.clip(t_idx, 0, max(len(T) - 1, 0))], dash)
+    return (s_chars.tobytes().decode("latin-1"),
+            t_chars.tobytes().decode("latin-1"))
+
+
 def batch_align(pairs: list[tuple[str, str]]) -> list[tuple[str, str]]:
     """Align [(S, T), ...] with global affine Gotoh; returns aligned string
     pairs identical to engine.align.global_align_aff."""
     if not pairs:
         return []
     P = len(pairs)
+    # power-of-two-ish buckets -> few distinct compiled shapes
     N = _round_up(max(len(s) for s, _ in pairs), 128)
     M = _round_up(max(len(t) for _, t in pairs), 128)
+    N = 1 << max(7, (N - 1).bit_length())
+    M = 1 << max(7, (M - 1).bit_length())
     S = np.zeros((P, N + 1), dtype=np.uint8)
     T = np.zeros((P, M + 1), dtype=np.uint8)
     n_len = np.zeros(P, np.int32)
@@ -127,13 +197,22 @@ def batch_align(pairs: list[tuple[str, str]]) -> list[tuple[str, str]]:
         n_len[p] = len(s)
         m_len[p] = len(t)
 
-    tbs = np.asarray(_dp_fill(jnp.asarray(S), jnp.asarray(T),
-                              jnp.asarray(n_len), jnp.asarray(m_len), N, M))
+    # pad the pair axis to a power of two as well (shape-bucketing)
+    P_pad = 1 << max(3, (P - 1).bit_length())
+    if P_pad != P:
+        pad = P_pad - P
+        S = np.concatenate([S, np.tile(S[-1:], (pad, 1))])
+        T = np.concatenate([T, np.tile(T[-1:], (pad, 1))])
+        n_len = np.concatenate([n_len, np.repeat(n_len[-1:], pad)])
+        m_len = np.concatenate([m_len, np.repeat(m_len[-1:], pad)])
 
-    out = []
-    for p, (s, t) in enumerate(pairs):
-        out.append(_traceback(tbs, p, s, t))
-    return out
+    ops, counts = _dp_and_traceback(jnp.asarray(S), jnp.asarray(T),
+                                    jnp.asarray(n_len), jnp.asarray(m_len),
+                                    N, M)
+    ops = np.asarray(ops)
+    counts = np.asarray(counts)
+    return [_decode(ops[p], int(counts[p]), s, t)
+            for p, (s, t) in enumerate(pairs)]
 
 
 def _traceback(tbs: np.ndarray, p: int, S: str, T: str) -> tuple[str, str]:

@@ -3,10 +3,15 @@ import sys
 
 # Tests run on a virtual 8-device CPU mesh so sharding paths are exercised
 # without TPU hardware (bench.py runs on the real chip instead).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: the axon TPU plugin overrides the JAX_PLATFORMS env var, so the
+# platform must be forced through jax.config before any backend use.
 os.environ.setdefault(
     "XLA_FLAGS",
     (os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8").strip(),
 )
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -166,6 +166,37 @@ def scenario(name: str, seed: int = 0):
         for al in t + n:
             # low-quality 10bp tails -> exercises the 5'/3' trim path
             al.qual = "#" * 10 + "I" * (len(al.seq) - 20) + "#" * 10
+    elif name == "paired_overlap":
+        # overlapping mate pairs (fragment 160bp, 100bp reads -> 40bp
+        # overlap) exercise the mate-dedup binary_search quirk
+        edit = ("s", c, other(refseq[c]))
+        t = []
+        n = []
+        frag = 160
+        i = 0
+        for pos in range(lo, hi - frag, step):
+            for sample, reads, carry in (("t", t, rng.random() < 0.5),
+                                         ("n", n, False)):
+                e = edit if (sample == "t" and carry) else None
+                r1 = hap_reads(refseq, e, pos, pos + rl, rl, rl, f"frag{i}_x",
+                               1.0 if e else 0, seed + i)[0]
+                r2 = hap_reads(refseq, e, pos + frag - rl, pos + frag, rl, rl,
+                               f"frag{i}_x", 1.0 if e else 0, seed + i)[0]
+                r1.name = r2.name = f"{sample}frag{i}"
+                r1.flag = 0x1 | 0x40 | (r1.flag & 0x10)
+                r2.flag = 0x1 | 0x80 | 0x10
+                reads += [r1, r2]
+            i += 1
+    elif name == "lr_snv":
+        # linked-reads: BX barcodes + HP haplotypes on every read
+        edit = ("s", c, other(refseq[c]))
+        t = hap_reads(refseq, edit, lo, hi, rl, step, "t", 0.5, seed + 1)
+        n = hap_reads(refseq, None, lo, hi, rl, step, "n", 0, seed + 2)
+        for al in t + n:
+            has_alt = c - al.pos >= 0 and c - al.pos < rl and al.seq[c - al.pos] != refseq[c]
+            bc = rng.randrange(6)
+            al.tags["BX"] = ("Z", f"BX{bc:03d}-1")
+            al.tags["HP"] = ("i", (2 if has_alt else 1) if rng.random() < 0.8 else 0)
     elif name == "random_storm":
         edits = []
         for _ in range(6):
@@ -188,5 +219,7 @@ def scenario(name: str, seed: int = 0):
 ALL_SCENARIOS = [
     "somatic_snv", "shared_snv", "normal_only_snv", "somatic_ins",
     "somatic_del", "low_vaf_snv", "two_snvs", "adjacent_complex",
-    "str_indel", "quality_trimmed", "random_storm",
+    "str_indel", "quality_trimmed", "paired_overlap", "random_storm",
 ]
+
+LR_SCENARIOS = ["lr_snv"]

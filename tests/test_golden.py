@@ -17,7 +17,14 @@ pytestmark = pytest.mark.skipif(not os.path.exists(BIN),
 
 @pytest.mark.parametrize("name", ["somatic_snv", "somatic_ins", "somatic_del",
                                   "adjacent_complex", "str_indel",
+                                  "paired_overlap", "lr_snv",
                                   "random_storm"])
 def test_golden_record_equal(name):
     good, msg = compare_one(name, 0, BIN)
+    assert good, msg
+
+
+@pytest.mark.parametrize("name", ["somatic_del", "paired_overlap"])
+def test_golden_record_equal_fast_engine(name):
+    good, msg = compare_one(name, 0, BIN, engine="tpu")
     assert good, msg

@@ -32,18 +32,20 @@ def records(vcf_text: str) -> list[str]:
 
 def compare_one(name: str, seed: int, binary: str, engine: str = "oracle",
                 verbose: bool = True):
+    lr_mode = name.startswith("lr_")
     refseq, tumor, normal, region = scenario(name, seed)
     with tempfile.TemporaryDirectory() as td:
         ref_path, t_path, n_path = write_pair(td, refseq, "chr1", tumor, normal)
-        r = subprocess.run(
-            [binary, "--tumor", t_path, "--normal", n_path, "--ref", ref_path,
-             "--reg", region],
-            capture_output=True, text=True, timeout=600)
+        argv = [binary, "--tumor", t_path, "--normal", n_path,
+                "--ref", ref_path, "--reg", region]
+        if lr_mode:
+            argv.append("--linked-reads")
+        r = subprocess.run(argv, capture_output=True, text=True, timeout=600)
         ref_recs = records(r.stdout)
         if r.returncode != 0:
             return None, f"reference crashed rc={r.returncode}"
         cfg = Config(tumor_bam=t_path, normal_bam=n_path, ref_fasta=ref_path,
-                     region=region)
+                     region=region, lr_mode=lr_mode)
         ours = run(cfg, command_line="golden", date="D\n", engine=engine)
         our_recs = records(ours)
     if ref_recs == our_recs:
