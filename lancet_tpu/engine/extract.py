@@ -50,11 +50,31 @@ def make_path_job(graph, path, ref) -> PathJob:
     covN = path.cov_distr("N")
     covT = path.cov_distr("T")
     L = covN.shape[0]
+    # tumor_span[pos] = pathcontig(pos).is_status_cnt('T'); pathcontig
+    # returns the first node with curpos+span >= pos, so node i covers
+    # (hi_{i-1}, hi_i] with hi strictly increasing — fill by ranges.
     tumor_span = np.zeros(L + 1, dtype=bool)
-    for pos in range(L + 1):
-        spanner = path.pathcontig(pos)
-        tumor_span[pos] = (spanner is not None
-                           and spanner.is_status_cnt(ord("T")))
+    cur = 0
+    prev_hi = -1
+    status_cache: dict[int, bool] = {}
+    for n in path.nodes:
+        if n.is_special():
+            continue
+        span = len(n.str_m)
+        hi = cur + span
+        lo = max(prev_hi + 1, 0)
+        if lo <= min(hi, L):
+            key = id(n)
+            st = status_cache.get(key)
+            if st is None:
+                st = n.is_status_cnt(ord("T"))
+                status_cache[key] = st
+            if st:
+                tumor_span[lo : min(hi, L) + 1] = True
+        prev_hi = hi
+        cur += span - graph.K + 1
+        if prev_hi >= L:
+            break
     hd = hamming_distance(ref.seq, pathseq)
     return PathJob(
         refchr=ref.refchr, refstart=ref.refstart, trim5=ref.trim5,

@@ -133,6 +133,8 @@ class Microassembler:
         self.graph_cnt = 0
         self.engine = engine
         self.path_jobs = []  # deferred PathJobs (tpu engine)
+        self._gates: dict | None = None  # window name -> (gate_row, exact_row)
+        self._gate_kidx: dict[int, int] = {}
 
     # ------------------------------------------------------------------
     def is_active_region(self, alns, refinfo, code: int) -> bool:
@@ -281,10 +283,15 @@ class Microassembler:
             rpt_in_qry = False
             cycle_in_graph = False
 
-            if is_repeat(refinfo.rawseq, k):
-                continue
-            if is_almost_repeat(refinfo.rawseq, k, self.cfg.max_mismatch):
-                continue
+            grow = self._gates.get(refinfo.hdr) if self._gates else None
+            if grow is not None and k in self._gate_kidx:
+                if grow[0][self._gate_kidx[k]]:
+                    continue
+            else:
+                if is_repeat(refinfo.rawseq, k):
+                    continue
+                if is_almost_repeat(refinfo.rawseq, k, self.cfg.max_mismatch):
+                    continue
 
             use_fast = (self.engine == "tpu" and not self.cfg.lr_mode
                         and not self.cfg.kmer_recovery)
@@ -300,16 +307,33 @@ class Microassembler:
                 g.remove_low_cov(False, 0)
             numcomp = g.mark_connected_components()
 
+            dot = None
+            if self.cfg.print_graph:
+                from . import dot as dot_mod
+                dot = dot_mod
+                prefix = "./" + refinfo.hdr
+                dot.print_dot(g, f"{prefix}.0.dot", 0, self.cfg.node_strlen)
+
             for c in range(1, numcomp + 1):
                 g.mark_ref_ends(refinfo, c)
+                if dot:
+                    dot.print_dot(g, f"{prefix}.1l.c{c}.dot", c, self.cfg.node_strlen)
                 if g.has_cycle():
                     g.clear(False)
                     cycle_in_graph = True
                     break
                 g.compress(c)
+                if dot:
+                    dot.print_dot(g, f"{prefix}.2c.c{c}.dot", c, self.cfg.node_strlen)
                 g.remove_low_cov(True, c)
+                if dot:
+                    dot.print_dot(g, f"{prefix}.3l.c{c}.dot", c, self.cfg.node_strlen)
                 g.remove_tips(c)
+                if dot:
+                    dot.print_dot(g, f"{prefix}.4t.c{c}.dot", c, self.cfg.node_strlen)
                 g.remove_short_links(c)
+                if dot:
+                    dot.print_dot(g, f"{prefix}.5s.c{c}.dot", c, self.cfg.node_strlen)
                 if g.has_cycle():
                     g.clear(False)
                     cycle_in_graph = True
@@ -319,6 +343,8 @@ class Microassembler:
                     rpt_in_qry = True
                     break
                 g.count_ref_path()
+                if dot:
+                    dot.print_dot(g, f"{prefix}.final.c{c}.dot", c, self.cfg.node_strlen)
 
             if rpt_in_qry or cycle_in_graph:
                 continue
@@ -336,7 +362,11 @@ class Microassembler:
 
         if is_n_seq(refinfo.rawseq):
             return
-        if is_repeat(refinfo.rawseq, cfg.max_k):
+        grow = self._gates.get(refinfo.hdr) if self._gates else None
+        if grow is not None and cfg.max_k in self._gate_kidx:
+            if grow[1][self._gate_kidx[cfg.max_k]]:
+                return
+        elif is_repeat(refinfo.rawseq, cfg.max_k):
             return
 
         if tumor_alns is None:
@@ -369,10 +399,31 @@ class Microassembler:
     def process_windows(self, windows) -> None:
         """Process a shard's windows in lexicographic name order (reference
         std::map reftable order, Microassembler.cc:779)."""
-        for w in sorted(windows, key=lambda w: w.name):
+        ws = sorted(windows, key=lambda w: w.name)
+        if self.engine == "tpu" and ws:
+            self._precompute_gates(ws)
+        for w in ws:
             self.process_window(w)
         if self.engine == "tpu":
             self.flush_path_jobs()
+
+    def _precompute_gates(self, ws) -> None:
+        """Batched device evaluation of the per-(window, k) repeat gates
+        for the whole shard (replaces the reference's O(L^2*K) host scans
+        per retry, Microassembler.cc:118-131)."""
+        from ..tpu.repeats import repeat_gates
+
+        cfg = self.cfg
+        ks = list(range(cfg.min_k, cfg.max_k + 1, 2))
+        self._gate_kidx = {k: i for i, k in enumerate(ks)}
+        self._gates = {}
+        CH = 32
+        for i in range(0, len(ws), CH):
+            chunk = ws[i : i + CH]
+            g, e = repeat_gates([w.rawseq for w in chunk], ks,
+                                cfg.max_mismatch, with_exact=True)
+            for j, w in enumerate(chunk):
+                self._gates[w.name] = (g[j], e[j])
 
     def flush_path_jobs(self) -> None:
         """Batch-align deferred paths on device, then extract variants in

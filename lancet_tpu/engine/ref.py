@@ -64,12 +64,19 @@ class Ref:
         is excluded (ref: Ref.cc:51 loop bound)."""
         if self.indexed:
             return
+        from .seqs import canonical_rows
+
         K = self.K
-        for i in range(0, max(0, len(self.seq) - K)):
-            cmer, _ = canonical(self.seq[i : i + K])
-            if cmer not in self.mertable_nml:
-                self.mertable_nml[cmer] = np.zeros(10, dtype=np.int32)
-                self.mertable_tmr[cmer] = np.zeros(10, dtype=np.int32)
+        s = np.frombuffer(self.seq.encode("latin-1"), np.uint8)
+        rows, _ = canonical_rows(s, K)
+        rows = rows[: max(0, len(self.seq) - K)]  # final mer excluded
+        nml = self.mertable_nml
+        tmr = self.mertable_tmr
+        for r in rows:
+            cmer = r.tobytes().decode("latin-1")
+            if cmer not in nml:
+                nml[cmer] = np.zeros(10, dtype=np.int32)
+                tmr[cmer] = np.zeros(10, dtype=np.int32)
         self.indexed = True
 
     def has_mer(self, cmer: str) -> bool:
@@ -98,27 +105,26 @@ class Ref:
     def compute_coverage(self, sample: int) -> None:
         """Project mer coverage onto rawseq positions (ref: Ref.cc:173-250):
         mer at i covers position i+K-1 (positions 0..K-1 from mer 0)."""
+        from .seqs import canonical_rows
+
         table = self.mertable_tmr if sample == TMR else self.mertable_nml
         cov = self.tumor_coverage if sample == TMR else self.normal_coverage
         K = self.K
         cols = [FWD_C, REV_C, HP0_C, HP1_C, HP2_C]
-        for i in range(0, max(0, len(self.rawseq) - K)):
-            cmer, _ = canonical(self.rawseq[i : i + K])
-            row = table.get(cmer)
-            if row is not None:
-                vals = [row[c] for c in cols]
-            else:
-                vals = [0, 0, 0, 0, 0]
+        s = np.frombuffer(self.rawseq.encode("latin-1"), np.uint8)
+        rows, _ = canonical_rows(s, K)
+        n = max(0, len(self.rawseq) - K)  # final mer excluded
+        zeros5 = (0, 0, 0, 0, 0)
+        for i in range(n):
+            row = table.get(rows[i].tobytes().decode("latin-1"))
+            vals = (row[FWD_C], row[REV_C], row[HP0_C], row[HP1_C],
+                    row[HP2_C]) if row is not None else zeros5
             if i == 0:
-                for j in range(K):
-                    for c, v in zip(cols, vals):
-                        cov[j, c] = v
+                for c, v in zip(cols, vals):
+                    cov[:K, c] = v
             else:
                 for c, v in zip(cols, vals):
                     cov[i + K - 1, c] = v
-            if row is None and i != 0:
-                # reference writes zeros at i+K-1 (done above)
-                pass
 
     def get_cov_struct_at(self, pos: int, sample: int) -> np.ndarray:
         cov = self.normal_coverage if sample == NML else self.tumor_coverage

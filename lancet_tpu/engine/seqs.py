@@ -54,6 +54,29 @@ def _as_u8(seq: str) -> np.ndarray:
     return np.frombuffer(seq.encode("latin-1"), dtype=np.uint8)
 
 
+_COMP_U8 = np.zeros(256, np.uint8)
+for _a, _b in zip(b"ACGTacgtNn", b"TGCAtgcaNn"):
+    _COMP_U8[_a] = _b
+
+
+def canonical_rows(s: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Canonical k-mer rows for every offset of uint8 sequence `s`:
+    returns (rows [n, k] uint8, is_forward [n] bool). Vectorized version
+    of CanonicalMer_t::set (Mer.hh:57-71): lexicographic min of the
+    window vs its revcomp; palindromes orient R."""
+    n = s.size - k + 1
+    if n <= 0:
+        return np.zeros((0, k), np.uint8), np.zeros(0, bool)
+    win = np.lib.stride_tricks.sliding_window_view(s, k)
+    rc = np.lib.stride_tricks.sliding_window_view(_COMP_U8[s][::-1], k)[::-1]
+    neq = win != rc
+    anyneq = neq.any(axis=1)
+    first = neq.argmax(axis=1)
+    rows_idx = np.arange(n)
+    is_f = anyneq & (win[rows_idx, first] < rc[rows_idx, first])
+    return np.where(is_f[:, None], win, rc), is_f
+
+
 def is_repeat(seq: str, k: int) -> bool:
     """Exact duplicate k-mer in seq among offsets [0, L-k) — the final k-mer
     at offset L-k is excluded, matching the reference's loop bound

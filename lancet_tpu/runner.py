@@ -20,9 +20,29 @@ from .windows import generate_windows, shard_windows
 LANCET_VERSION = "1.1.0, October 18 2019"  # reference version string emulated
 
 
+def _run_shard(cfg, tumor_path, normal_path, shard, engine):
+    """Process-pool worker: open its own readers (share-nothing) and
+    return the shard's VariantDB. Workers pin JAX to CPU so only the
+    parent (or the real runtime) owns the TPU; device batching across
+    processes belongs to the mesh path (lancet_tpu.parallel)."""
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+    tumor = BamReader(tumor_path)
+    normal = BamReader(normal_path)
+    ma = Microassembler(cfg, readers=(tumor, normal), engine=engine)
+    ma.process_windows(shard)
+    return ma.vdb
+
+
 def run(cfg: Config, command_line: str = "lancet-tpu", date: str | None = None,
-        engine: str = "oracle") -> str:
-    """Run the caller; returns the VCF text."""
+        engine: str = "oracle", processes: bool = False) -> str:
+    """Run the caller; returns the VCF text. `processes=True` fans shards
+    out to a process pool (host parallelism; device work still batches
+    per shard)."""
     fasta = FastaFile(cfg.ref_fasta)
     tumor = BamReader(cfg.tumor_bam)
     normal = BamReader(cfg.normal_bam)
@@ -63,15 +83,27 @@ def run(cfg: Config, command_line: str = "lancet-tpu", date: str | None = None,
                                cfg.window_size, cfg.padding)
     shards = shard_windows(windows, cfg.num_threads)
 
-    workers = []
-    for shard in shards:
-        ma = Microassembler(cfg_eff, readers=(tumor, normal), engine=engine)
-        ma.process_windows(shard)
-        workers.append(ma)
-
     merged = VariantDB(cfg.lr_mode)
-    for ma in workers:
-        merged.merge_from(ma.vdb)
+    if cfg.num_threads > 1 and processes:
+        # share-nothing shard workers (reference pthread model,
+        # Lancet.cc:844-928); shard DBs merged in shard order so the
+        # result is process-count invariant
+        import concurrent.futures as cf
+        import multiprocessing as mp
+
+        ctx = mp.get_context("spawn")  # never fork an initialized TPU client
+        with cf.ProcessPoolExecutor(max_workers=min(cfg.num_threads, 8),
+                                    mp_context=ctx) as ex:
+            futs = [ex.submit(_run_shard, cfg_eff, cfg.tumor_bam,
+                              cfg.normal_bam, shard, engine)
+                    for shard in shards]
+            for fut in futs:
+                merged.merge_from(fut.result())
+    else:
+        for shard in shards:
+            ma = Microassembler(cfg_eff, readers=(tumor, normal), engine=engine)
+            ma.process_windows(shard)
+            merged.merge_from(ma.vdb)
 
     if date is None:
         date = time.asctime() + "\n"

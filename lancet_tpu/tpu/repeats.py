@@ -53,16 +53,19 @@ def _gates(seq, lens, ks: tuple, max_mismatch: int):
         mask = o_full[None, None, :] <= lim
         exact = jnp.any(mask & (cnt_k == 0), axis=(1, 2))
         almost = jnp.any(mask & (cnt_k1 <= max_mismatch), axis=(1, 2))
-        return None, exact | almost
+        return None, (exact | almost, exact)
 
-    _, gates = jax.lax.scan(per_k, None, jnp.asarray(ks, jnp.int32))
-    return gates.T  # [W, nk]
+    _, (gates, exact) = jax.lax.scan(per_k, None, jnp.asarray(ks, jnp.int32))
+    return gates.T, exact.T  # each [W, nk]
 
 
-def repeat_gates(windows: list[str], ks: list[int], max_mismatch: int) -> np.ndarray:
-    """Per-window, per-k gate verdicts (True = skip this k)."""
+def repeat_gates(windows: list[str], ks: list[int], max_mismatch: int,
+                 with_exact: bool = False):
+    """Per-window, per-k gate verdicts (True = skip this k); optionally
+    also the exact-repeat matrix (used for the maxK window skip)."""
     if not windows:
-        return np.zeros((0, len(ks)), bool)
+        z = np.zeros((0, len(ks)), bool)
+        return (z, z) if with_exact else z
     L = max(8, max(len(w) for w in windows))
     W = len(windows)
     seq = np.zeros((W, L), np.uint8)
@@ -70,5 +73,8 @@ def repeat_gates(windows: list[str], ks: list[int], max_mismatch: int) -> np.nda
     for i, w in enumerate(windows):
         seq[i, : len(w)] = np.frombuffer(w.encode("latin-1"), np.uint8)
         lens[i] = len(w)
-    return np.asarray(_gates(jnp.asarray(seq), jnp.asarray(lens),
-                             tuple(ks), max_mismatch))
+    gates, exact = _gates(jnp.asarray(seq), jnp.asarray(lens),
+                          tuple(ks), max_mismatch)
+    if with_exact:
+        return np.asarray(gates), np.asarray(exact)
+    return np.asarray(gates)
