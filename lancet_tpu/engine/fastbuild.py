@@ -82,54 +82,55 @@ def build_graph_fast(graph, refinfo) -> None:
         refinfo.compute_coverage(NML)
         return
 
-    # ---- per-read mer streams -------------------------------------------
-    # Collect, per read: canonical mer rows, orientation, per-pair quality
-    # gate, canonical-oriented quality rows.
-    mer_rows = []       # [n_mers, K] uint8 canonical
-    ori_f = []          # [n_mers] bool: canonical orientation is F
-    q_rows = []         # [n_mers, K] canonical-oriented qualities
-    pairq = []          # [n_mers] bool: whole (K+1) window of the PAIR ok
-    # pairq[p] corresponds to pair (p, p+1); last mer has no pair
-    read_of = []        # read meta index per mer
-    pos_of = []         # mer offset within read
-
+    # ---- concatenated mer streams ---------------------------------------
+    # One sliding pass over all reads joined with a K-wide sentinel gap
+    # (0xFF never matches and never passes quality), then keep only
+    # windows fully inside one read.
+    GAP = K + 1
+    read_lens = np.array([s.size for s in seqs], np.int32)
+    reads_n = len(seqs)
+    tot = int(read_lens.sum()) + GAP * reads_n
+    cat = np.full(tot, 0xFF, np.uint8)
+    qcat = np.zeros(tot, np.uint8)
+    starts = np.zeros(reads_n, np.int64)
+    off = 0
     for ridx, (s, q) in enumerate(zip(seqs, quals)):
-        n = s.size - K + 1  # mers per read
-        Mrows = _sliding(s, K)
-        Qrows = _sliding(q, K)
-        # rc windows: sliding over the reversed complement, row j of which
-        # is revcomp(s[L-K-j : L-j]); flip rows to index by fwd offset
-        RCrows = _sliding(_COMP[s][::-1], K)[::-1]
-        neq = Mrows != RCrows
-        anyneq = neq.any(axis=1)
-        first = neq.argmax(axis=1)
-        rows_idx = np.arange(n)
-        less = Mrows[rows_idx, first] < RCrows[rows_idx, first]
-        isF = anyneq & less  # palindromes -> R (strict <)
-        canon = np.where(isF[:, None], Mrows, RCrows)
-        qcan = np.where(isF[:, None], Qrows, Qrows[:, ::-1])
-        # per-window "all >= minq" via windowed count of below-threshold
-        below = (q < minq).astype(np.int32)
-        cb = np.concatenate([[0], np.cumsum(below)])
-        # window of K+1 bases starting at p: pairs (p, p+1)
-        win_ok = (cb[K + 1 :] - cb[: -(K + 1)]) == 0 if s.size >= K + 1 else np.zeros(0, bool)
-        mer_rows.append(canon)
-        ori_f.append(isF)
-        q_rows.append(qcan)
-        pq = np.zeros(n, bool)
-        if win_ok.size:
-            pq[: win_ok.size] = win_ok
-        pairq.append(pq)
-        read_of.append(np.full(n, ridx, np.int32))
-        pos_of.append(np.arange(n, dtype=np.int32))
+        starts[ridx] = off
+        cat[off : off + s.size] = s
+        qcat[off : off + s.size] = q
+        off += s.size + GAP
 
-    mer_rows = np.concatenate(mer_rows)
-    ori_f = np.concatenate(ori_f)
-    q_rows = np.concatenate(q_rows)
-    pairq = np.concatenate(pairq)
-    read_of = np.concatenate(read_of)
-    pos_of = np.concatenate(pos_of)
-    n_mers = mer_rows.shape[0]
+    n_per_read = read_lens - K + 1  # mers per read (all >= 2 here)
+    n_mers = int(n_per_read.sum())
+    # global concatenated offset of each mer
+    read_of = np.repeat(np.arange(reads_n, dtype=np.int32), n_per_read)
+    pos_of = (np.arange(n_mers, dtype=np.int32)
+              - np.repeat((np.cumsum(n_per_read) - n_per_read).astype(np.int32),
+                          n_per_read))
+    cat_off = starts[read_of] + pos_of
+
+    Mrows_all = _sliding(cat, K)
+    RCrows_all = _sliding(_COMP[cat][::-1], K)[::-1]
+    Mrows = Mrows_all[cat_off]
+    RCrows = RCrows_all[cat_off]
+    neq = Mrows != RCrows
+    anyneq = neq.any(axis=1)
+    first = neq.argmax(axis=1)
+    rows_idx = np.arange(n_mers)
+    isF = anyneq & (Mrows[rows_idx, first] < RCrows[rows_idx, first])
+    mer_rows = np.where(isF[:, None], Mrows, RCrows)
+    Qrows = _sliding(qcat, K)[cat_off]
+    q_rows = np.where(isF[:, None], Qrows, Qrows[:, ::-1])
+    ori_f = isF
+
+    # per-pair quality gate: whole (K+1)-base window >= minq (gap bytes
+    # are 0 -> always below threshold -> cross-read windows self-mask)
+    below = (qcat < minq).astype(np.int32)
+    cb = np.concatenate([[0], np.cumsum(below)])
+    win_ok_all = (cb[K + 1 :] - cb[: -(K + 1)]) == 0
+    pairq = np.zeros(n_mers, bool)
+    inb = cat_off < win_ok_all.size
+    pairq[inb] = win_ok_all[cat_off[inb]]
 
     # ---- unique nodes ----------------------------------------------------
     view = mer_rows.view([("", np.uint8)] * K).ravel()
@@ -149,9 +150,7 @@ def build_graph_fast(graph, refinfo) -> None:
     isref = meta_isref[read_of]
     order = meta_order[read_of]
 
-    reads_n = len(seqs)
-    read_nmers = np.array([s.size - K + 1 for s in seqs], np.int32)
-    read_start_stream = np.concatenate([[0], np.cumsum(read_nmers)])[:-1]
+    read_nmers = n_per_read
 
     # stream/pair bookkeeping: pair p exists at positions pos < nmers-1
     is_last = pos_of == (read_nmers[read_of] - 1)
@@ -268,6 +267,7 @@ def build_graph_fast(graph, refinfo) -> None:
     tot_q = mqf_t + mqr_t + mqf_n + mqr_n  # [n_nodes, K]
     mincov_qv = tot_q.min(axis=1)
     tot_cov = fwd_t + rev_t + fwd_n + rev_n
+    mincov_all = tot_cov  # fwd/rev broadcast -> per-base total == node total
     avgcov = graph.totalreadbp / len(refinfo.rawseq)
     low = ((mincov_qv <= graph.LOW_COV_THRESHOLD)
            | (mincov_qv <= graph.MIN_COV_RATIO * avgcov)
@@ -287,39 +287,68 @@ def build_graph_fast(graph, refinfo) -> None:
     edge_keep = surv[esrc] & surv[edst]
 
     dirs = (FF, FR, RF, RR)
+    surv_ids = np.nonzero(surv)[0]
+    ns = surv_ids.size
+    # bulk per-base coverage blocks; nodes keep views (never mutated
+    # in place after build — compress reassigns whole arrays)
+    cd_t_all = np.zeros((ns, K, 10), np.int32)
+    cd_n_all = np.zeros((ns, K, 10), np.int32)
+    cd_t_all[:, :, 0] = fwd_t[surv_ids, None]
+    cd_t_all[:, :, 1] = rev_t[surv_ids, None]
+    cd_t_all[:, :, 2] = mqf_t[surv_ids]
+    cd_t_all[:, :, 3] = mqr_t[surv_ids]
+    cd_n_all[:, :, 0] = fwd_n[surv_ids, None]
+    cd_n_all[:, :, 1] = rev_n[surv_ids, None]
+    cd_n_all[:, :, 2] = mqf_n[surv_ids]
+    cd_n_all[:, :, 3] = mqr_n[surv_ids]
+    tum_s = is_tumor[surv_ids]
+    nml_s = is_normal[surv_ids]
     node_objs: dict[int, Node] = {}
-    for nid in np.nonzero(surv)[0]:
-        node = Node(mer_strings[nid])
-        node.min_qual = minq
+    for si in range(ns):
+        nid = int(surv_ids[si])
+        node = Node.__new__(Node)
+        node.nodeid = mer_strings[nid]
         node.K = K
+        node.str_m = node.nodeid
         node.cov_tmr_fwd = float(fwd_t[nid])
         node.cov_tmr_rev = float(rev_t[nid])
         node.cov_nml_fwd = float(fwd_n[nid])
         node.cov_nml_rev = float(rev_n[nid])
-        node.is_tumor = bool(is_tumor[nid])
-        node.is_normal = bool(is_normal[nid])
-        cd_t = np.zeros((K, 10), np.int32)
-        cd_t[:, 0] = fwd_t[nid]
-        cd_t[:, 1] = rev_t[nid]
-        cd_t[:, 2] = mqf_t[nid]
-        cd_t[:, 3] = mqr_t[nid]
-        cd_n = np.zeros((K, 10), np.int32)
-        cd_n[:, 0] = fwd_n[nid]
-        cd_n[:, 1] = rev_n[nid]
-        cd_n[:, 2] = mqf_n[nid]
-        cd_n[:, 3] = mqr_n[nid]
-        node.cov_distr_tmr = cd_t
-        node.cov_distr_nml = cd_n
-        status = b"E"
-        if is_tumor[nid] and is_normal[nid]:
-            status = b"B"
-        elif is_tumor[nid]:
-            status = b"T"
-        elif is_normal[nid]:
-            status = b"N"
-        node.cov_status = bytearray(status * K)
+        node.is_ref = False
+        node.is_tumor = bool(tum_s[si])
+        node.is_normal = bool(nml_s[si])
+        node.is_source = False
+        node.is_sink = False
+        node.dead = False
+        node.component = 0
         node.touch_ref = bool(mer_in_ref[nid])
-        node.compute_min_cov()
+        node.on_ref_path = 0
+        node.color = 0
+        node.min_qual = minq
+        node.mincov = int(mincov_all[nid])
+        node.mincov_qv = int(mincov_qv[nid])
+        if node.is_tumor and node.is_normal:
+            status = b"B"
+        elif node.is_tumor:
+            status = b"T"
+        elif node.is_normal:
+            status = b"N"
+        else:
+            status = b"E"
+        node.cov_status = bytearray(status * K)
+        node.cov_distr_tmr = cd_t_all[si]
+        node.cov_distr_nml = cd_n_all[si]
+        node.edges = []
+        node.reads = set()
+        node.bx_tmr_fwd = set()
+        node.bx_tmr_rev = set()
+        node.bx_nml_fwd = set()
+        node.bx_nml_rev = set()
+        node.hpset_tmr = [0, 0, 0]
+        node.hpset_nml = [0, 0, 0]
+        node.mate1_name = []
+        node.mate2_name = []
+        node.readstarts = []
         node_objs[nid] = node
 
     for ei in eorder:

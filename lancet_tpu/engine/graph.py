@@ -28,6 +28,10 @@ CODE_MAPPED = "M"
 CODE_BASTARD = "B"
 REF_LABEL = 3  # ref pseudo-read label (ref: Graph.hh:58 `#define REF 3`)
 
+_DNA_TABLE = np.zeros(256, bool)
+for _c in b"ACGTacgt":
+    _DNA_TABLE[_c] = True
+
 WHITE, GREY, BLACK = 1, 2, 3
 
 
@@ -136,21 +140,18 @@ class Graph:
         """5'/3' low-quality/non-DNA trim points (ref: Graph.cc:355-384)."""
         info = self.readid2info[readid]
         ln = len(seq)
-        trim5 = 0
-        while trim5 < ln and (not is_dna(seq[trim5]) or ord(qv[trim5]) < self.MIN_QUAL_TRIM):
-            trim5 += 1
-        if trim5 < ln:
-            trim3 = 0
-            while trim3 < ln and (not is_dna(seq[ln - 1 - trim3]) or ord(qv[ln - 1 - trim3]) < self.MIN_QUAL_TRIM):
-                trim3 += 1
-            info.isjunk = False
-            for i in range(trim5, ln - trim3):
-                if not is_dna(seq[i]):
-                    info.isjunk = True
-                    break
+        s = np.frombuffer(seq.encode("latin-1"), np.uint8)
+        q = np.frombuffer(qv.encode("latin-1"), np.uint8)
+        dna = _DNA_TABLE[s]
+        good = dna & (q >= self.MIN_QUAL_TRIM)
+        if good.any():
+            trim5 = int(good.argmax())
+            trim3 = int(good[::-1].argmax())
+            info.isjunk = not dna[trim5 : ln - trim3].all()
         else:
-            info.isjunk = True
+            trim5 = ln
             trim3 = 0
+            info.isjunk = True
         info.trm5 = trim5
         info.trm3 = trim3
 
@@ -515,74 +516,94 @@ class Graph:
     # cleanup (ref: Graph.cc:2486-2926)
     # ------------------------------------------------------------------
     def compress_node(self, node: Node, d: str) -> None:
+        """Unitig chain merge (ref: Graph.cc:2486-2706).
+
+        Implemented with deferred segment concatenation: the per-step
+        array growth of the reference (O(chain^2) copying) is replaced by
+        collecting segments and materializing once, while producing the
+        exact same final state — including the dir==R
+        reverse/append/re-reverse dance (net effect: reversed segments
+        prepend) and the never-reversed cov_status append order."""
         K = self.K
+        # deferred state: logical cov arrays = concat of cov_segs (dir F
+        # appends at tail; dir R prepends reversed segments at head)
+        cov_segs_t = [node.cov_distr_tmr]
+        cov_segs_n = [node.cov_distr_nml]
+        str_segs = [node.str_m]
+        status_tail: list = []  # appended in merge order, never reversed
+        cur_len = len(node.str_m)
+        merged = False
+
         while True:
             uniqueid = node.get_buddy(d)
             if uniqueid == -1:
-                return
+                break
             if node.is_tandem():
-                return
+                break
             edir = node.edges[uniqueid].dir
             bdir = R if edir in (FF, RF) else F
             buddy = self.get_edge_node(node.edges[uniqueid])
             assert buddy is not None and not buddy.dead
             if buddy.is_tandem():
-                return
+                break
             buniqueid = buddy.get_buddy(bdir)
             if buniqueid == -1:
-                return
+                break
             assert buddy.edges[buniqueid].nodeid == node.nodeid
 
-            astr = node.str_m
-            if d == R:
-                astr = rc_str(astr)
-                node.revreads()
-                node.rev_cov_distr()
-            bstr = buddy.str_m
-            if edgedir_dest(edir) == R:
-                bstr = rc_str(bstr)
-                buddy.revreads()
-                buddy.rev_cov_distr()
+            merged = True
+            dest_r = edgedir_dest(edir) == R
+            bstr = rc_str(buddy.str_m) if dest_r else buddy.str_m
+            bcov_t = buddy.cov_distr_tmr[::-1] if dest_r else buddy.cov_distr_tmr
+            bcov_n = buddy.cov_distr_nml[::-1] if dest_r else buddy.cov_distr_nml
 
-            assert astr[len(astr) - K + 1 :] == bstr[: K - 1]
-            mstr = astr + bstr[K - 1 :]
-            if d == R:
-                mstr = rc_str(mstr)
-            node.str_m = mstr
-
-            amerlen = len(astr) - K + 1
+            amerlen = cur_len - K + 1
             bmerlen = len(bstr) - K + 1
-            n_tf, n_nf = node.cov_tmr_fwd, node.cov_nml_fwd
-            n_tr, n_nr = node.cov_tmr_rev, node.cov_nml_rev
-            b_tf, b_nf = buddy.cov_tmr_fwd, buddy.cov_nml_fwd
-            b_tr, b_nr = buddy.cov_tmr_rev, buddy.cov_nml_rev
 
-            node.cov_distr_tmr = np.concatenate([node.cov_distr_tmr, buddy.cov_distr_tmr[K - 1 :]], axis=0)
-            node.cov_distr_nml = np.concatenate([node.cov_distr_nml, buddy.cov_distr_nml[K - 1 :]], axis=0)
-            node.cov_status.extend(buddy.cov_status[K - 1 :])
+            if d == R:
+                # node reversed, segment appended, reversed back ==
+                # reversed segment prepends
+                str_segs.insert(0, rc_str(bstr[K - 1 :]))
+                cov_segs_t.insert(0, bcov_t[K - 1 :][::-1])
+                cov_segs_n.insert(0, bcov_n[K - 1 :][::-1])
+            else:
+                str_segs.append(bstr[K - 1 :])
+                cov_segs_t.append(bcov_t[K - 1 :])
+                cov_segs_n.append(bcov_n[K - 1 :])
+            status_tail.append(buddy.cov_status[K - 1 :])
+
+            # readstarts: replicate the per-step reversal/shift exactly
+            if node.readstarts or buddy.readstarts:
+                new_len = cur_len + len(bstr) - K + 1
+                if d == R:
+                    for rs in node.readstarts:
+                        rs[1] = cur_len - 1 - rs[1]
+                        rs[3] = F if rs[3] == R else R
+                brs = buddy.readstarts
+                if dest_r:
+                    blen = len(buddy.str_m)
+                    brs = [[r[0], blen - 1 - r[1], r[2], F if r[3] == R else R]
+                           for r in brs]
+                for rs in brs:
+                    node.readstarts.append([rs[0], rs[1] + amerlen, rs[2], rs[3]])
+                if d == R:
+                    for rs in node.readstarts:
+                        rs[1] = new_len - 1 - rs[1]
+                        rs[3] = F if rs[3] == R else R
 
             node.bx_tmr_fwd |= buddy.bx_tmr_fwd
             node.bx_tmr_rev |= buddy.bx_tmr_rev
             node.bx_nml_fwd |= buddy.bx_nml_fwd
             node.bx_nml_rev |= buddy.bx_nml_rev
 
-            node.compute_min_cov()
             tot = amerlen + bmerlen
-            node.cov_tmr_fwd = (n_tf * amerlen + b_tf * bmerlen) / tot
-            node.cov_nml_fwd = (n_nf * amerlen + b_nf * bmerlen) / tot
-            node.cov_tmr_rev = (n_tr * amerlen + b_tr * bmerlen) / tot
-            node.cov_nml_rev = (n_nr * amerlen + b_nr * bmerlen) / tot
+            node.cov_tmr_fwd = (node.cov_tmr_fwd * amerlen + buddy.cov_tmr_fwd * bmerlen) / tot
+            node.cov_nml_fwd = (node.cov_nml_fwd * amerlen + buddy.cov_nml_fwd * bmerlen) / tot
+            node.cov_tmr_rev = (node.cov_tmr_rev * amerlen + buddy.cov_tmr_rev * bmerlen) / tot
+            node.cov_nml_rev = (node.cov_nml_rev * amerlen + buddy.cov_nml_rev * bmerlen) / tot
 
             node.reads |= buddy.reads
-
-            shift = amerlen
-            for rs in buddy.readstarts:
-                node.readstarts.append([rs[0], rs[1] + shift, rs[2], rs[3]])
-
-            if d == R:
-                node.revreads()
-                node.rev_cov_distr()
-            node.sort_read_starts()
+            cur_len = cur_len + len(bstr) - K + 1
 
             buddy.dead = True
             if buddy.is_ref:
@@ -609,6 +630,15 @@ class Graph:
                     node.edges.append(ne)
                     other.update_edge(buddy.nodeid, fliplink(be.dir),
                                       node.nodeid, fliplink(ne.dir))
+
+        if merged:
+            node.str_m = "".join(str_segs)
+            node.cov_distr_tmr = np.concatenate(cov_segs_t, axis=0)
+            node.cov_distr_nml = np.concatenate(cov_segs_n, axis=0)
+            for seg in status_tail:
+                node.cov_status.extend(seg)
+            node.compute_min_cov()
+            node.sort_read_starts()
 
     def compress(self, compid: int) -> None:
         for n in self.node_iter():

@@ -9,8 +9,8 @@ from lancet_tpu.tpu.repeats import repeat_gates
 def test_repeat_gates_match_oracle():
     rng = random.Random(5)
     windows = []
-    for _ in range(12):
-        L = rng.randint(40, 160)
+    for _ in range(6):
+        L = rng.randint(40, 90)
         s = "".join(rng.choice("ACGT") for _ in range(L))
         # some windows get planted repeats / near repeats
         if rng.random() < 0.5:

@@ -20,6 +20,15 @@ import tempfile
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
 
+try:  # pin to CPU: golden comparison is correctness-only and the remote
+    # TPU tunnel's first-transfer stall would dominate (int kernels are
+    # platform-deterministic)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
+
 from lancet_tpu.config import Config  # noqa: E402
 from lancet_tpu.runner import run  # noqa: E402
 from tests.goldengen import ALL_SCENARIOS, scenario  # noqa: E402
