@@ -137,6 +137,13 @@ class BamReader:
             if al.end_position() >= left:
                 yield al
 
+    def first_record(self):
+        """First alignment in file order (tag-presence probes)."""
+        for rid in self._by_ref:
+            for al in self._by_ref[rid]:
+                return al
+        return None
+
 
 # ---------------------------------------------------------------------------
 # writer

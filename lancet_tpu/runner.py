@@ -13,8 +13,7 @@ from . import __version__
 from .config import Config
 from .engine.micro import Microassembler
 from .engine.vardb import VariantDB
-from .io.bam import BamReader
-from .io.fasta import FastaFile
+from .io import open_bam, open_fasta
 from .windows import generate_windows, shard_windows
 
 LANCET_VERSION = "1.1.0, October 18 2019"  # reference version string emulated
@@ -31,8 +30,8 @@ def _run_shard(cfg, tumor_path, normal_path, shard, engine):
         jax.config.update("jax_platforms", "cpu")
     except Exception:
         pass
-    tumor = BamReader(tumor_path)
-    normal = BamReader(normal_path)
+    tumor = open_bam(tumor_path)
+    normal = open_bam(normal_path)
     ma = Microassembler(cfg, readers=(tumor, normal), engine=engine)
     ma.process_windows(shard)
     return ma.vdb
@@ -43,19 +42,17 @@ def run(cfg: Config, command_line: str = "lancet-tpu", date: str | None = None,
     """Run the caller; returns the VCF text. `processes=True` fans shards
     out to a process pool (host parallelism; device work still batches
     per shard)."""
-    fasta = FastaFile(cfg.ref_fasta)
-    tumor = BamReader(cfg.tumor_bam)
-    normal = BamReader(cfg.normal_bam)
+    fasta = open_fasta(cfg.ref_fasta)
+    tumor = open_bam(cfg.tumor_bam)
+    normal = open_bam(cfg.normal_bam)
 
     # MD-tag availability check disables active regions like the reference
     # (Lancet.cc:817-825): probe the first record of each BAM.
     cfg_eff = cfg
     if cfg.active_regions:
         def first_has_md(rdr):
-            for alns in rdr._by_ref.values():
-                for al in alns:
-                    return "MD" in al.tags
-            return True
+            al = rdr.first_record()
+            return True if al is None else "MD" in al.tags
         if not (first_has_md(tumor) or first_has_md(normal)):
             import dataclasses
             cfg_eff = dataclasses.replace(cfg, active_regions=False)
