@@ -113,13 +113,29 @@ def _dp_fill(S, T, n_len, m_len, N, M):
 _OP_DIAG, _OP_SGAP, _OP_TGAP = 1, 2, 3
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5))
-def _dp_and_traceback(S, T, n_len, m_len, N, M):
+def _use_pallas() -> bool:
+    """Pallas fill on real TPU; lax.scan fill elsewhere (override with
+    LANCET_TPU_PALLAS=0/1)."""
+    import os
+
+    env = os.environ.get("LANCET_TPU_PALLAS")
+    if env is not None:
+        return env not in ("0", "", "false")
+    return jax.default_backend() == "tpu"
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
+def _dp_and_traceback(S, T, n_len, m_len, N, M, use_pallas=False):
     """DP fill + on-device traceback. Returns (ops[P, N+M], count[P])
     where ops are emitted back-to-front (host reverses). Keeping the
     traceback on device avoids shipping the O(n*m) tb planes over the
     host link — only O(n+m) ops come back."""
-    tbs = _dp_fill(S, T, n_len, m_len, N, M)  # [D, P, N+1]
+    if use_pallas:
+        from .pallas_gotoh import make_tr2, pallas_dp_fill
+
+        tbs = pallas_dp_fill(S, make_tr2(T, N, M), N, M)
+    else:
+        tbs = _dp_fill(S, T, n_len, m_len, N, M)  # [D, P, N+1]
     D = tbs.shape[0]
     LMAX = N + M
     Pn = S.shape[0]
@@ -208,7 +224,7 @@ def batch_align(pairs: list[tuple[str, str]]) -> list[tuple[str, str]]:
 
     ops, counts = _dp_and_traceback(jnp.asarray(S), jnp.asarray(T),
                                     jnp.asarray(n_len), jnp.asarray(m_len),
-                                    N, M)
+                                    N, M, _use_pallas())
     ops = np.asarray(ops)
     counts = np.asarray(counts)
     return [_decode(ops[p], int(counts[p]), s, t)
