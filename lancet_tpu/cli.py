@@ -20,6 +20,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ref", "-r", required=True)
     p.add_argument("--reg", "-p", default="")
     p.add_argument("--bed", "-B", default="")
+    p.add_argument("--rg-file", "-g", default="",
+                   help="read-group allowlist file (one RG per line)")
     p.add_argument("--min-k", "-k", type=int, default=11)
     p.add_argument("--max-k", "-K", type=int, default=101)
     p.add_argument("--trim-lowqual", "-q", type=int, default=10)
@@ -61,13 +63,24 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--primary-alignment-only", "-I", action="store_true")
     p.add_argument("--XA-tag-filter", "-O", dest="xa_filter", action="store_true")
     p.add_argument("--active-region-off", "-W", action="store_true")
-    p.add_argument("--kmer-recovery", "-R", action="store_true")
+    p.add_argument("--kmer-recovery", "--kmer-recovery-on", "-R",
+                   action="store_true")
     p.add_argument("--print-graph", "-A", action="store_true")
     p.add_argument("--verbose", "-v", action="store_true")
+    p.add_argument("--more-verbose", "-V", action="store_true")
+    p.add_argument("--print-config-file", "-G", action="store_true",
+                   help="dump the effective configuration to config.txt")
     # new-framework options
     p.add_argument("--engine", choices=["oracle", "tpu"], default="tpu",
                    help="execution engine (tpu = batched device kernels)")
     p.add_argument("--out", default="-", help="output VCF path (default stdout)")
+    p.add_argument("--trace-file", default="",
+                   help="per-window wall-time JSONL (profiling)")
+    p.add_argument("--resume-dir", default="",
+                   help="checkpoint dir: append completed-window logs and "
+                        "resume an interrupted run from them")
+    p.add_argument("--processes", action="store_true",
+                   help="fan shards out to a host process pool")
     return p
 
 
@@ -101,7 +114,10 @@ def config_from_args(a) -> Config:
         primary_alignment_only=a.primary_alignment_only,
         active_regions=not a.active_region_off,
         kmer_recovery=a.kmer_recovery, verbose=a.verbose,
-        print_graph=a.print_graph, num_threads=a.num_threads,
+        very_verbose=a.more_verbose, print_graph=a.print_graph,
+        print_config_file=a.print_config_file, rg_file=a.rg_file,
+        trace_file=a.trace_file, resume_dir=a.resume_dir,
+        num_threads=a.num_threads,
         node_strlen=a.node_str_len, filters=filters)
 
 
@@ -112,7 +128,8 @@ def main(argv=None) -> int:
               file=sys.stderr)
         return 1
     cfg = config_from_args(args)
-    vcf = run(cfg, command_line=" ".join(sys.argv), engine=args.engine)
+    vcf = run(cfg, command_line=" ".join(sys.argv), engine=args.engine,
+              processes=args.processes)
     if args.out == "-":
         sys.stdout.write(vcf)
     else:

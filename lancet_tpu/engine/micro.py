@@ -129,7 +129,16 @@ class Microassembler:
         self.vdb = VariantDB(cfg.lr_mode)
         self.counters = ShardCounters()
         self.readers = readers  # (tumor_reader, normal_reader)
+        # read-group allowlist (ref: Microassembler.cc:29-48 loadRG;
+        # the sentinel "null" admits every read)
         self.readgroups: set[str] = {"null"}
+        if getattr(cfg, "rg_file", ""):
+            with open(cfg.rg_file) as f:
+                toks = f.read().split()
+            self.readgroups = set(toks) if toks else {"null"}
+        self.window_times: list[tuple[str, float, int]] = []
+        # (window name, wall ms, reads) — W_ELAPSED_TIME equivalent
+        # (ref: Microassembler.cc:770-777, 848-857)
         self.graph_cnt = 0
         self.engine = engine
         self.path_jobs = []  # deferred PathJobs (tpu engine)
@@ -396,16 +405,52 @@ class Microassembler:
             self.counters.num_skip += 1
         self.counters.windows_done += 1
 
-    def process_windows(self, windows) -> None:
+    def process_windows(self, windows, skip_names=None, chunk_cb=None,
+                        chunk_size: int = 64, trace: bool = False) -> None:
         """Process a shard's windows in lexicographic name order (reference
-        std::map reftable order, Microassembler.cc:779)."""
+        std::map reftable order, Microassembler.cc:779).
+
+        skip_names: already-completed windows (resume) to drop up front.
+        chunk_cb(names, variants): called after each chunk_size-window
+        chunk is fully flushed, with the variant records that chunk added
+        (checkpoint logging). trace: record per-window wall time.
+        """
+        import time as _time
+
         ws = sorted(windows, key=lambda w: w.name)
+        if skip_names:
+            ws = [w for w in ws if w.name not in skip_names]
         if self.engine == "tpu" and ws:
             self._precompute_gates(ws)
-        for w in ws:
-            self.process_window(w)
-        if self.engine == "tpu":
-            self.flush_path_jobs()
+        if chunk_cb is None and not trace:
+            for w in ws:
+                self.process_window(w)
+            if self.engine == "tpu":
+                self.flush_path_jobs()
+            return
+        sink: list = []
+        if chunk_cb is not None:
+            self.vdb.record_sink = sink
+        try:
+            for i in range(0, len(ws), chunk_size):
+                chunk = ws[i : i + chunk_size]
+                for w in chunk:
+                    if trace:
+                        r0 = self.counters.total_reads
+                        t0 = _time.perf_counter()
+                        self.process_window(w)
+                        self.window_times.append(
+                            (w.name, (_time.perf_counter() - t0) * 1e3,
+                             self.counters.total_reads - r0))
+                    else:
+                        self.process_window(w)
+                if self.engine == "tpu":
+                    self.flush_path_jobs()
+                if chunk_cb is not None:
+                    chunk_cb([w.name for w in chunk], list(sink))
+                    sink.clear()
+        finally:
+            self.vdb.record_sink = None
 
     def _precompute_gates(self, ws) -> None:
         """Batched device evaluation of the per-(window, k) repeat gates

@@ -12,6 +12,9 @@ class VariantDB:
         self.lr_mode = lr_mode
         self.db: dict[str, Variant] = {}
         self.filters = None
+        self.record_sink = None  # optional list capturing add_var inputs
+        # (checkpoint logging: replaying captured records through add_var
+        # reproduces the DB state — see lancet_tpu.checkpoint)
 
     def __len__(self) -> int:
         return len(self.db)
@@ -19,6 +22,8 @@ class VariantDB:
     def add_var(self, v: Variant) -> None:
         """Keep the record with strictly higher total coverage on signature
         collision (ref: VariantDB.cc:28-91)."""
+        if self.record_sink is not None:
+            self.record_sink.append(v)
         key = sha256_hex(v.signature())
         old = self.db.get(key)
         if old is None:

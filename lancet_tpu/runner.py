@@ -19,11 +19,39 @@ from .windows import generate_windows, shard_windows
 LANCET_VERSION = "1.1.0, October 18 2019"  # reference version string emulated
 
 
-def _run_shard(cfg, tumor_path, normal_path, shard, engine):
+def _print_summary(counters, num_windows: int) -> None:
+    """End-of-run region-class counters to stderr
+    (ref: Lancet.cc:930-970)."""
+    import sys
+
+    def tot(field):
+        return sum(getattr(c, field) for c in counters)
+
+    skip = tot("num_skip")
+    pct = 100.0 * skip / num_windows if num_windows else 0.0
+    print(f"Total # of skipped windows: {skip} ({pct:g}%)", file=sys.stderr)
+    print(f"- # of windows with SNVs only: {tot('num_snv_only')}",
+          file=sys.stderr)
+    print(f"- # of windows with indels only: {tot('num_indel_only')}",
+          file=sys.stderr)
+    print(f"- # of windows with softclips only: {tot('num_softclip_only')}",
+          file=sys.stderr)
+    print("- # of windows with indels or softclips: "
+          f"{tot('num_indel_or_softclip')}", file=sys.stderr)
+    print(f"- # of windows with SNVs or indels: {tot('num_snv_or_indel')}",
+          file=sys.stderr)
+    print("- # of windows with SNVs or softclips: "
+          f"{tot('num_snv_or_softclip')}", file=sys.stderr)
+    print("- # of windows with SNVs or indels or softclips: "
+          f"{tot('num_snv_or_indel_or_softclip')}", file=sys.stderr)
+
+
+def _run_shard(cfg, tumor_path, normal_path, shard, engine, shard_idx=0,
+               resume_state=None):
     """Process-pool worker: open its own readers (share-nothing) and
-    return the shard's VariantDB. Workers pin JAX to CPU so only the
-    parent (or the real runtime) owns the TPU; device batching across
-    processes belongs to the mesh path (lancet_tpu.parallel)."""
+    return (VariantDB, window_times, counters). Workers pin JAX to CPU so
+    only the parent (or the real runtime) owns the TPU; device batching
+    across processes belongs to the mesh path (lancet_tpu.parallel)."""
     try:
         import jax
 
@@ -33,8 +61,28 @@ def _run_shard(cfg, tumor_path, normal_path, shard, engine):
     tumor = open_bam(tumor_path)
     normal = open_bam(normal_path)
     ma = Microassembler(cfg, readers=(tumor, normal), engine=engine)
-    ma.process_windows(shard)
-    return ma.vdb
+    _process_shard(ma, cfg, shard, shard_idx, resume_state)
+    return ma.vdb, ma.window_times, ma.counters
+
+
+def _process_shard(ma, cfg, shard, shard_idx, resume_state) -> None:
+    """Run one shard with optional resume logging / window tracing."""
+    trace = bool(cfg.trace_file)
+    if cfg.resume_dir:
+        from .checkpoint import ShardLog, shard_log_path
+
+        done, replay = (resume_state if resume_state is not None
+                        else (set(), []))
+        for v in replay:
+            ma.vdb.add_var(v)
+        log = ShardLog(shard_log_path(cfg.resume_dir, shard_idx))
+        try:
+            ma.process_windows(shard, skip_names=done,
+                               chunk_cb=log.append_chunk, trace=trace)
+        finally:
+            log.close()
+    else:
+        ma.process_windows(shard, chunk_cb=None, trace=trace)
 
 
 def run(cfg: Config, command_line: str = "lancet-tpu", date: str | None = None,
@@ -80,7 +128,26 @@ def run(cfg: Config, command_line: str = "lancet-tpu", date: str | None = None,
                                cfg.window_size, cfg.padding)
     shards = shard_windows(windows, cfg.num_threads)
 
+    if cfg.print_config_file:
+        # reference writes config.txt in the working directory
+        # (Lancet.cc:829-834, 118-185)
+        from .config import print_configuration
+
+        with open("config.txt", "w") as f:
+            f.write(print_configuration(cfg_eff))
+
+    resume_state = [None] * len(shards)
+    if cfg.resume_dir:
+        import os
+
+        from .checkpoint import load_resume_state
+
+        os.makedirs(cfg.resume_dir, exist_ok=True)
+        resume_state = load_resume_state(cfg.resume_dir, len(shards))
+
     merged = VariantDB(cfg.lr_mode)
+    all_times: list = []
+    counters = []
     if cfg.num_threads > 1 and processes:
         # share-nothing shard workers (reference pthread model,
         # Lancet.cc:844-928); shard DBs merged in shard order so the
@@ -92,15 +159,31 @@ def run(cfg: Config, command_line: str = "lancet-tpu", date: str | None = None,
         with cf.ProcessPoolExecutor(max_workers=min(cfg.num_threads, 8),
                                     mp_context=ctx) as ex:
             futs = [ex.submit(_run_shard, cfg_eff, cfg.tumor_bam,
-                              cfg.normal_bam, shard, engine)
-                    for shard in shards]
+                              cfg.normal_bam, shard, engine, i,
+                              resume_state[i])
+                    for i, shard in enumerate(shards)]
             for fut in futs:
-                merged.merge_from(fut.result())
+                vdb, times, ctr = fut.result()
+                merged.merge_from(vdb)
+                all_times.extend(times)
+                counters.append(ctr)
     else:
-        for shard in shards:
+        for i, shard in enumerate(shards):
             ma = Microassembler(cfg_eff, readers=(tumor, normal), engine=engine)
-            ma.process_windows(shard)
+            _process_shard(ma, cfg_eff, shard, i, resume_state[i])
             merged.merge_from(ma.vdb)
+            all_times.extend(ma.window_times)
+            counters.append(ma.counters)
+
+    if cfg.trace_file:
+        import json as _json
+
+        with open(cfg.trace_file, "w") as f:
+            for name, ms, reads in all_times:
+                f.write(_json.dumps({"window": name, "ms": round(ms, 3),
+                                     "reads": reads}) + "\n")
+
+    _print_summary(counters, len(windows))
 
     if date is None:
         date = time.asctime() + "\n"
