@@ -39,6 +39,52 @@ _DIR_TABLE = {  # (u_ori_is_F, v_ori_is_F) -> (fdir, rdir)
     (False, False): (RR, FF),
 }
 
+# 4-bit injective codes for the 16 BAM sequence symbols (mer dedup packs
+# mers into uint64 words; order need not be lexicographic — only identity
+# grouping matters)
+_NIB = np.full(256, 255, np.uint8)
+for _i, _c in enumerate(b"=ACMGRSVTWYHKDBN"):
+    _NIB[_c] = _i
+for _i, _c in enumerate(b"acmgrsvtwyhkdbn"):  # lowercase aliases distinct
+    _NIB[_c] = 255  # force fallback; lowercase shouldn't reach mers
+
+
+def _unique_mers(mer_rows: np.ndarray, K: int):
+    """(n_nodes, node_ids[int32], rep_idx[int]) — group identical mer rows.
+
+    Fast path packs each K-byte row into ceil(K/16) uint64 words (4-bit
+    codes) and groups with integer sort — far faster than np.unique over a
+    structured K-byte dtype (generic memcmp sort). Falls back to the
+    structured unique when a row contains a byte outside the 16-symbol
+    alphabet."""
+    n = mer_rows.shape[0]
+    codes = _NIB[mer_rows]
+    if not (codes != 255).all():
+        view = mer_rows.view([("", np.uint8)] * K).ravel()
+        _, rep_idx, inv = np.unique(view, return_index=True,
+                                    return_inverse=True)
+        return rep_idx.shape[0], inv.astype(np.int32), rep_idx
+    W = (K + 15) // 16
+    packed = np.zeros((n, W), np.uint64)
+    c64 = codes.astype(np.uint64)
+    for j in range(K):
+        w = j >> 4
+        packed[:, w] = (packed[:, w] << np.uint64(4)) | c64[:, j]
+    if W == 1:
+        _, rep_idx, inv = np.unique(packed[:, 0], return_index=True,
+                                    return_inverse=True)
+        return rep_idx.shape[0], inv.astype(np.int32), rep_idx
+    order = np.lexsort(tuple(packed[:, w] for w in range(W - 1, -1, -1)))
+    sp = packed[order]
+    newgrp = np.empty(n, bool)
+    newgrp[0] = True
+    np.any(sp[1:] != sp[:-1], axis=1, out=newgrp[1:])
+    grp = np.cumsum(newgrp) - 1
+    inv = np.empty(n, np.int64)
+    inv[order] = grp
+    rep_idx = order[newgrp]
+    return int(grp[-1]) + 1, inv.astype(np.int32), rep_idx
+
 
 def _sliding(arr: np.ndarray, k: int) -> np.ndarray:
     return np.lib.stride_tricks.sliding_window_view(arr, k)
@@ -133,12 +179,10 @@ def build_graph_fast(graph, refinfo) -> None:
     pairq[inb] = win_ok_all[cat_off[inb]]
 
     # ---- unique nodes ----------------------------------------------------
-    view = mer_rows.view([("", np.uint8)] * K).ravel()
-    uniq, inv = np.unique(view, return_inverse=True)
-    n_nodes = uniq.shape[0]
-    node_ids = inv.astype(np.int32)
-    mer_strings = [bytes(u) .decode("latin-1") for u in
-                   uniq.view(np.uint8).reshape(n_nodes, K)]
+    n_nodes, node_ids, rep_idx = _unique_mers(mer_rows, K)
+    blob = mer_rows[rep_idx].tobytes()
+    mer_strings = [blob[i * K : (i + 1) * K].decode("latin-1")
+                   for i in range(n_nodes)]
 
     meta_sample = np.array([m[1] for m in metas], np.int32)
     meta_strand = np.array([m[2] for m in metas], np.int32)

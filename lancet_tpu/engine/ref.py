@@ -24,6 +24,7 @@ class Ref:
         self.trim5 = 0
         self.trim3 = 0
         self.indexed = False
+        self._rawkeys: list[str] | None = None
         self.mertable_nml: dict[str, np.ndarray] | None = None
         self.mertable_tmr: dict[str, np.ndarray] | None = None
         self.normal_coverage: np.ndarray | None = None
@@ -41,6 +42,7 @@ class Ref:
         clears tables but seq set only by markRefEnds/load)."""
         self.K = k
         self.indexed = False
+        self._rawkeys = None  # cached per-position canonical mer strings
         self.clear()
         self.init()
 
@@ -72,8 +74,9 @@ class Ref:
         rows = rows[: max(0, len(self.seq) - K)]  # final mer excluded
         nml = self.mertable_nml
         tmr = self.mertable_tmr
-        for r in rows:
-            cmer = r.tobytes().decode("latin-1")
+        blob = rows.tobytes()
+        for i in range(rows.shape[0]):
+            cmer = blob[i * K : (i + 1) * K].decode("latin-1")
             if cmer not in nml:
                 nml[cmer] = np.zeros(10, dtype=np.int32)
                 tmr[cmer] = np.zeros(10, dtype=np.int32)
@@ -111,12 +114,18 @@ class Ref:
         cov = self.tumor_coverage if sample == TMR else self.normal_coverage
         K = self.K
         cols = [FWD_C, REV_C, HP0_C, HP1_C, HP2_C]
-        s = np.frombuffer(self.rawseq.encode("latin-1"), np.uint8)
-        rows, _ = canonical_rows(s, K)
         n = max(0, len(self.rawseq) - K)  # final mer excluded
+        keys = self._rawkeys
+        if keys is None or len(keys) != n:
+            s = np.frombuffer(self.rawseq.encode("latin-1"), np.uint8)
+            rows, _ = canonical_rows(s, K)
+            blob = rows[:n].tobytes()
+            keys = [blob[i * K : (i + 1) * K].decode("latin-1")
+                    for i in range(n)]
+            self._rawkeys = keys
         zeros5 = (0, 0, 0, 0, 0)
         for i in range(n):
-            row = table.get(rows[i].tobytes().decode("latin-1"))
+            row = table.get(keys[i])
             vals = (row[FWD_C], row[REV_C], row[HP0_C], row[HP1_C],
                     row[HP2_C]) if row is not None else zeros5
             if i == 0:

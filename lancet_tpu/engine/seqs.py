@@ -109,18 +109,26 @@ def is_almost_repeat(seq: str, k: int, max_mismatch: int) -> bool:
     max_i = L - k - 1  # candidate starts must fit the full K+1 window
     if max_pat < 0 or max_i < 1:
         return False
-    kern = np.ones(w, dtype=np.int32)
-    for d in range(1, max_i + 1):
-        neq = (arr[d:] != arr[:-d]).astype(np.int32)
-        # window sums of length w starting at offset p: p in [0, L-d-w]
-        if neq.size < w:
-            break
-        sums = np.convolve(neq, kern, mode="valid")
-        # pattern offset p must satisfy p <= max_pat and candidate i=p+d <= max_i
-        hi = min(max_pat, max_i - d)
-        if hi >= 0 and sums[: hi + 1].min(initial=max_mismatch + 1) <= max_mismatch:
-            return True
-    return False
+    # One matrix pass over all shifts d (1..max_i) at once:
+    #   Mneq[i, d-1] = (seq[i+d] != seq[i]); S[p, d-1] = window sum of w
+    # starting at i=p via a column cumsum. Valid (p, d) pairs require
+    # p <= max_pat and candidate start p+d <= max_i (which also keeps the
+    # compared windows fully in bounds, so the zero padding never leaks
+    # into a valid cell).
+    D = max_i
+    idx = np.arange(L)
+    arr_pad = np.concatenate([arr, np.zeros(D + 1, np.uint8)])
+    shifts = np.arange(1, D + 1)
+    shifted = arr_pad[idx[:, None] + shifts[None, :]]  # [L, D]
+    mneq = shifted != arr[:, None]
+    cs = np.zeros((L + 1, D), np.int32)
+    np.cumsum(mneq, axis=0, out=cs[1:])
+    if L - w + 1 <= 0:
+        return False
+    sums = cs[w:, :] - cs[:-w, :]  # [L-w+1, D], row p = pattern offset
+    pidx = np.arange(sums.shape[0])[:, None]
+    valid = pidx <= np.minimum(max_pat, max_i - shifts[None, :])
+    return bool((valid & (sums <= max_mismatch)).any())
 
 
 def find_tandems(

@@ -23,40 +23,38 @@ import numpy as np
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def _gates(seq, lens, ks: tuple, max_mismatch: int):
     """seq: [W, L] uint8; lens: [W] int32.
-    Returns bool [W, len(ks)]: True if k is gated (repeat or near-repeat)."""
+    Returns bool [W, len(ks)]: True if k is gated (repeat or near-repeat).
+
+    lax.scan over the shift axis d with only [W, L]-shaped state per step
+    (the naive formulation materializes a [W, L, L] mismatch tensor —
+    hundreds of MB of HBM traffic per chunk; this streams it)."""
     W, L = seq.shape
-    # neq[w, d, p] = seq[p + d + 1] != seq[p]   (d axis = shift-1, shifts 1..L-1)
-    # build via broadcasting: shifted[w, d, p] = seq[w, p + d + 1]
     p_idx = jnp.arange(L)
-    d_idx = jnp.arange(L - 1)
-    gather_idx = jnp.minimum(p_idx[None, :] + d_idx[:, None] + 1, L - 1)
-    shifted = seq[:, gather_idx]  # [W, L-1, L]
-    neq = (shifted != seq[:, None, :]).astype(jnp.int32)
-    # zero out positions beyond the sequence (p + d + 1 >= len)
-    valid_p = (p_idx[None, :] + d_idx[:, None] + 1) < lens[:, None, None]
-    neq = jnp.where(valid_p, neq, 0)
-    pref = jnp.concatenate(
-        [jnp.zeros((W, L - 1, 1), jnp.int32), jnp.cumsum(neq, axis=2)], axis=2)
-
     o_full = jnp.arange(L + 1)
+    ks_arr = jnp.asarray(ks, jnp.int32)  # [nk]
+    # per-k window-end gather indices [nk, L+1] and validity masks
+    hi_k = jnp.minimum(o_full[None, :] + ks_arr[:, None], L)
+    hi_k1 = jnp.minimum(o_full[None, :] + ks_arr[:, None] + 1, L)
 
-    def per_k(_, k):
-        # windowed sums via clamped gathers (k is traced -> one compile)
-        def win(width):
-            hi_idx = jnp.minimum(o_full + width, L)
-            return pref[:, :, hi_idx] - pref  # [W, L-1, L+1]
-
-        cnt_k = win(k)
-        cnt_k1 = win(k + 1)
+    def per_d(carry, d):
+        gates_acc, exact_acc = carry  # [W, nk] bool
+        idx = jnp.minimum(p_idx + d + 1, L - 1)
+        neq = (seq[:, idx] != seq).astype(jnp.int32)  # [W, L]
+        neq = jnp.where((p_idx + d + 1)[None, :] < lens[:, None], neq, 0)
+        pref = jnp.concatenate(
+            [jnp.zeros((W, 1), jnp.int32), jnp.cumsum(neq, axis=1)], axis=1)
+        cnt_k = pref[:, hi_k] - pref[:, None, :]    # [W, nk, L+1]
+        cnt_k1 = pref[:, hi_k1] - pref[:, None, :]
         # valid offsets: o <= len - k - 1 - (d+1)
-        lim = lens[:, None, None] - k - 1 - (d_idx[None, :, None] + 1)
+        lim = lens[:, None, None] - ks_arr[None, :, None] - 1 - (d + 1)
         mask = o_full[None, None, :] <= lim
-        exact = jnp.any(mask & (cnt_k == 0), axis=(1, 2))
-        almost = jnp.any(mask & (cnt_k1 <= max_mismatch), axis=(1, 2))
-        return None, (exact | almost, exact)
+        exact = jnp.any(mask & (cnt_k == 0), axis=2)        # [W, nk]
+        almost = jnp.any(mask & (cnt_k1 <= max_mismatch), axis=2)
+        return (gates_acc | exact | almost, exact_acc | exact), None
 
-    _, (gates, exact) = jax.lax.scan(per_k, None, jnp.asarray(ks, jnp.int32))
-    return gates.T, exact.T  # each [W, nk]
+    init = (jnp.zeros((W, len(ks)), bool), jnp.zeros((W, len(ks)), bool))
+    (gates, exact), _ = jax.lax.scan(per_d, init, jnp.arange(L - 1))
+    return gates, exact
 
 
 def repeat_gates(windows: list[str], ks: list[int], max_mismatch: int,
@@ -66,15 +64,20 @@ def repeat_gates(windows: list[str], ks: list[int], max_mismatch: int,
     if not windows:
         z = np.zeros((0, len(ks)), bool)
         return (z, z) if with_exact else z
-    L = max(8, max(len(w) for w in windows))
-    W = len(windows)
+    nw = len(windows)
+    # stable shape buckets: L to a 128 multiple, W to a power of two —
+    # one compiled executable serves every shard of a run
+    L = ((max(8, max(len(w) for w in windows)) + 127) // 128) * 128
+    W = 1 << max(3, (nw - 1).bit_length())
     seq = np.zeros((W, L), np.uint8)
-    lens = np.zeros(W, np.int32)
+    lens = np.zeros(W, np.int32)  # pad rows: len 0 -> never gated
     for i, w in enumerate(windows):
         seq[i, : len(w)] = np.frombuffer(w.encode("latin-1"), np.uint8)
         lens[i] = len(w)
     gates, exact = _gates(jnp.asarray(seq), jnp.asarray(lens),
                           tuple(ks), max_mismatch)
+    gates = np.asarray(gates)[:nw]
+    exact = np.asarray(exact)[:nw]
     if with_exact:
-        return np.asarray(gates), np.asarray(exact)
-    return np.asarray(gates)
+        return gates, exact
+    return gates
