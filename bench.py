@@ -110,7 +110,8 @@ def main():
     # Warmup (untimed): pays one-time costs outside the measurement —
     # XLA compiles (persistent-cached) and the axon tunnel's first
     # device->host transfer, which can stall for minutes on this setup.
-    run_ours("chr1:300-2500")
+    # Warm on the full region so every shape bucket is compile-cached.
+    run_ours(region)
 
     elapsed, vcf = run_ours(region)
     wps = nwin / elapsed

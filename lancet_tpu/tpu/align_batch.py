@@ -198,11 +198,10 @@ def batch_align(pairs: list[tuple[str, str]]) -> list[tuple[str, str]]:
     if not pairs:
         return []
     P = len(pairs)
-    # power-of-two-ish buckets -> few distinct compiled shapes
-    N = _round_up(max(len(s) for s, _ in pairs), 128)
-    M = _round_up(max(len(t) for _, t in pairs), 128)
-    N = 1 << max(7, (N - 1).bit_length())
-    M = 1 << max(7, (M - 1).bit_length())
+    # 128-multiple buckets: Mosaic lane alignment with minimal padded DP
+    # area (pow2 buckets nearly doubled the work at ~1100bp windows)
+    N = _round_up(max(128, max(len(s) for s, _ in pairs)), 128)
+    M = _round_up(max(128, max(len(t) for _, t in pairs)), 128)
     S = np.zeros((P, N + 1), dtype=np.uint8)
     T = np.zeros((P, M + 1), dtype=np.uint8)
     n_len = np.zeros(P, np.int32)
