@@ -86,6 +86,48 @@ def _dp_scores_local(S, T, n_len, m_len):
     return sc
 
 
+def sharded_window_step(mesh: Mesh, seq, lens, S, T, n_len, m_len,
+                        ks: tuple, max_mismatch: int):
+    """One full SPMD step over the window/pair axis, exercising every
+    collective the framework's scale-out story needs (SURVEY.md §2.3):
+
+    - per-device repeat-gate kernel over its window shard ([W, nk] local)
+    - per-device wavefront Gotoh scores over its pair shard
+    - psum counter reduction (the reference's cross-thread counter merge,
+      Lancet.cc:930-970)
+    - tiled all_gather of fixed-width per-pair records (the variant-record
+      merge path: fixed-width structs ride ICI; host dedups by signature)
+
+    Returns (gates[W, nk], scores[P], records[P, 3], stats[2]) with gates/
+    scores/records sharded over "w" and stats replicated.
+    """
+    from ..tpu.repeats import gates_impl
+
+    def local(seq_l, lens_l, S_l, T_l, n_l, m_l):
+        gates, _ = gates_impl(seq_l, lens_l, ks, max_mismatch, axis="w")
+        sc = _dp_scores_local(S_l, T_l, n_l, m_l)
+        gated = jax.lax.psum(jnp.sum(gates[:, 0].astype(jnp.int32)), "w")
+        total = jax.lax.psum(jnp.sum(sc), "w")
+        cnt = jax.lax.psum(jnp.asarray(sc.shape[0], jnp.int32), "w")
+        rec = jnp.stack([sc, n_l, m_l], axis=1)  # fixed-width records
+        allrec = jax.lax.all_gather(rec, "w", axis=0, tiled=True)
+        stats = jnp.stack([total.astype(jnp.float32) / cnt,
+                           gated.astype(jnp.float32)])
+        return gates, sc, allrec, stats
+
+    kw = dict(mesh=mesh,
+              in_specs=(P("w", None), P("w"), P("w", None),
+                        P("w", None), P("w"), P("w")),
+              out_specs=(P("w", None), P("w"), P(None, None), P(None)))
+    try:
+        # the all_gather-ed records are replicated by construction, which
+        # the varying-mesh-axes checker cannot infer
+        fn = shard_map(local, check_vma=False, **kw)
+    except TypeError:  # older jax spelling
+        fn = shard_map(local, check_rep=False, **kw)
+    return jax.jit(fn)(seq, lens, S, T, n_len, m_len)
+
+
 def sharded_step(mesh: Mesh, S, T, n_len, m_len):
     """One SPMD step over the pair axis: per-shard DP + collective stats.
 

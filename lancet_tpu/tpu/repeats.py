@@ -20,14 +20,26 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def _gates(seq, lens, ks: tuple, max_mismatch: int):
+def _pvary(x, axis):
+    """Mark x as varying over a shard_map mesh axis (no-op outside one or
+    on jax versions without the manual-axes check)."""
+    if axis is None:
+        return x
+    try:
+        return jax.lax.pvary(x, (axis,))
+    except Exception:
+        return x
+
+
+def gates_impl(seq, lens, ks: tuple, max_mismatch: int, axis: str | None = None):
     """seq: [W, L] uint8; lens: [W] int32.
     Returns bool [W, len(ks)]: True if k is gated (repeat or near-repeat).
 
     lax.scan over the shift axis d with only [W, L]-shaped state per step
     (the naive formulation materializes a [W, L, L] mismatch tensor —
-    hundreds of MB of HBM traffic per chunk; this streams it)."""
+    hundreds of MB of HBM traffic per chunk; this streams it). `axis`
+    names the shard_map mesh axis when called inside one (the scan carry
+    init must be marked varying)."""
     W, L = seq.shape
     p_idx = jnp.arange(L)
     o_full = jnp.arange(L + 1)
@@ -52,9 +64,13 @@ def _gates(seq, lens, ks: tuple, max_mismatch: int):
         almost = jnp.any(mask & (cnt_k1 <= max_mismatch), axis=2)
         return (gates_acc | exact | almost, exact_acc | exact), None
 
-    init = (jnp.zeros((W, len(ks)), bool), jnp.zeros((W, len(ks)), bool))
+    init = (_pvary(jnp.zeros((W, len(ks)), bool), axis),
+            _pvary(jnp.zeros((W, len(ks)), bool), axis))
     (gates, exact), _ = jax.lax.scan(per_d, init, jnp.arange(L - 1))
     return gates, exact
+
+
+_gates = functools.partial(jax.jit, static_argnums=(2, 3))(gates_impl)
 
 
 def repeat_gates(windows: list[str], ks: list[int], max_mismatch: int,
