@@ -81,9 +81,13 @@ def run_ours(region: str) -> tuple[float, str]:
     cfg = Config(tumor_bam=os.path.join(CORPUS_DIR, "tumor.bam"),
                  normal_bam=os.path.join(CORPUS_DIR, "normal.bam"),
                  ref_fasta=os.path.join(CORPUS_DIR, "ref.fa"),
-                 region=region)
+                 region=region, num_threads=8)
+    # same host parallelism as the 8-thread reference anchor: 8 host
+    # workers do the share-nothing graph stage, the parent owns the TPU
+    # (repeat gates up front, batched Gotoh at the end)
     t0 = time.time()
-    vcf = run(cfg, command_line="bench", date="D\n", engine="tpu")
+    vcf = run(cfg, command_line="bench", date="D\n", engine="tpu",
+              processes=True)
     return time.time() - t0, vcf
 
 

@@ -145,6 +145,12 @@ class Microassembler:
         self.path_jobs = []  # deferred PathJobs (tpu engine)
         self._gates: dict | None = None  # window name -> (gate_row, exact_row)
         self._gate_kidx: dict[int, int] = {}
+        # two-phase mode: leave path_jobs for the parent process to align
+        # on device and finish (runner.run(processes=True))
+        self.defer_flush = False
+        # precomputed (gates, kidx) shipped by the parent so workers never
+        # touch a device
+        self.precomputed_gates: tuple[dict, dict] | None = None
 
     # ------------------------------------------------------------------
     def _fetch(self, which: int, window):
@@ -470,7 +476,7 @@ class Microassembler:
         if chunk_cb is None and not trace:
             for w in ws:
                 self.process_window(w)
-            if self.engine == "tpu":
+            if self.engine == "tpu" and not self.defer_flush:
                 self.flush_path_jobs()
             return
         sink: list = []
@@ -489,7 +495,7 @@ class Microassembler:
                              self.counters.total_reads - r0))
                     else:
                         self.process_window(w)
-                if self.engine == "tpu":
+                if self.engine == "tpu" and not self.defer_flush:
                     self.flush_path_jobs()
                 if chunk_cb is not None:
                     chunk_cb([w.name for w in chunk], list(sink))
@@ -504,6 +510,9 @@ class Microassembler:
         from ..tpu.repeats import repeat_gates
 
         cfg = self.cfg
+        if self.precomputed_gates is not None:
+            self._gates, self._gate_kidx = self.precomputed_gates
+            return
         ks = list(range(cfg.min_k, cfg.max_k + 1, 2))
         self._gate_kidx = {k: i for i, k in enumerate(ks)}
         self._gates = {}

@@ -47,22 +47,31 @@ def _print_summary(counters, num_windows: int) -> None:
 
 
 def _run_shard(cfg, tumor_path, normal_path, shard, engine, shard_idx=0,
-               resume_state=None):
+               resume_state=None, gates=None, defer=False):
     """Process-pool worker: open its own readers (share-nothing) and
-    return (VariantDB, window_times, counters). Workers pin JAX to CPU so
-    only the parent (or the real runtime) owns the TPU; device batching
-    across processes belongs to the mesh path (lancet_tpu.parallel)."""
-    try:
-        import jax
+    return (VariantDB, window_times, counters, path_jobs).
 
-        jax.config.update("jax_platforms", "cpu")
-    except Exception:
-        pass
+    Two-phase mode (defer=True + parent-precomputed gates): the worker is
+    pure host code — it never imports JAX — and returns its deferred
+    PathJobs for the parent to align on the device and finish, so N
+    workers saturate host cores while one process owns the TPU. Otherwise
+    the worker pins JAX to CPU and flushes its own jobs."""
+    if not defer:
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
     tumor = open_bam(tumor_path)
     normal = open_bam(normal_path)
     ma = Microassembler(cfg, readers=(tumor, normal), engine=engine)
+    if gates is not None:
+        ma.precomputed_gates = gates
+    ma.defer_flush = defer
     _process_shard(ma, cfg, shard, shard_idx, resume_state)
-    return ma.vdb, ma.window_times, ma.counters
+    return ma.vdb, ma.window_times, ma.counters, (ma.path_jobs if defer
+                                                  else [])
 
 
 def _process_shard(ma, cfg, shard, shard_idx, resume_state) -> None:
@@ -155,15 +164,64 @@ def run(cfg: Config, command_line: str = "lancet-tpu", date: str | None = None,
         import concurrent.futures as cf
         import multiprocessing as mp
 
-        ctx = mp.get_context("spawn")  # never fork an initialized TPU client
+        # two-phase: parent precomputes the repeat gates on device, workers
+        # do pure-host graph work, parent aligns all deferred jobs on
+        # device and finishes them in shard order (identical add order to
+        # the single-process run). Resume logging needs in-worker flushes,
+        # so it falls back to self-contained workers.
+        defer = engine == "tpu" and not cfg.resume_dir
+        gates_by_shard = [None] * len(shards)
+        if defer:
+            from .engine.micro import Microassembler as _MA
+
+            planner = _MA(cfg_eff, readers=None, engine=engine)
+            planner._precompute_gates(sorted(windows, key=lambda w: w.name))
+            for i, shard in enumerate(shards):
+                names = {w.name for w in shard}
+                gates_by_shard[i] = (
+                    {n: g for n, g in planner._gates.items() if n in names},
+                    planner._gate_kidx)
+
+        # forkserver: the server boots once via exec (no inherited TPU
+        # client — never plain-fork a process with a live device runtime)
+        # and each worker forks from it in milliseconds; interpreter boot
+        # costs ~2s on this host, so spawn-per-worker would dominate small
+        # runs. Preload the worker's import graph into the server.
+        try:
+            ctx = mp.get_context("forkserver")
+            ctx.set_forkserver_preload(
+                ["lancet_tpu.runner", "lancet_tpu.engine.micro",
+                 "lancet_tpu.io.bam", "lancet_tpu.native"])
+        except (ValueError, AttributeError):
+            ctx = mp.get_context("spawn")
         with cf.ProcessPoolExecutor(max_workers=min(cfg.num_threads, 8),
                                     mp_context=ctx) as ex:
             futs = [ex.submit(_run_shard, cfg_eff, cfg.tumor_bam,
                               cfg.normal_bam, shard, engine, i,
-                              resume_state[i])
+                              resume_state[i], gates_by_shard[i], defer)
                     for i, shard in enumerate(shards)]
-            for fut in futs:
-                vdb, times, ctr = fut.result()
+            results = [fut.result() for fut in futs]
+        if defer:
+            from .engine.extract import finish_path
+
+            all_jobs = [j for (_, _, _, jobs) in results for j in jobs]
+            dp_jobs = [j for j in all_jobs if j.needs_dp]
+            aligned = {}
+            if dp_jobs:
+                from .tpu.align_batch import batch_align
+
+                out = batch_align([(j.refseq, j.pathseq) for j in dp_jobs])
+                aligned = {id(j): r for j, r in zip(dp_jobs, out)}
+            for vdb, times, ctr, jobs in results:
+                for j in jobs:
+                    ra, pa = (aligned[id(j)] if j.needs_dp
+                              else (j.refseq, j.pathseq))
+                    finish_path(j, ra, pa, cfg_eff, vdb)
+                merged.merge_from(vdb)
+                all_times.extend(times)
+                counters.append(ctr)
+        else:
+            for vdb, times, ctr, _ in results:
                 merged.merge_from(vdb)
                 all_times.extend(times)
                 counters.append(ctr)
