@@ -90,9 +90,7 @@ def _sliding(arr: np.ndarray, k: int) -> np.ndarray:
     return np.lib.stride_tricks.sliding_window_view(arr, k)
 
 
-def build_graph_fast(graph, refinfo) -> None:
-    """Equivalent of Graph.buildgraph (fast path; no LR mode)."""
-    assert not graph.LR_MODE
+def _add_ref_read(graph, refinfo) -> None:
     graph.ref = refinfo
     if not graph.is_ref_added:
         qv = "K" * len(refinfo.rawseq)
@@ -100,10 +98,10 @@ def build_graph_fast(graph, refinfo) -> None:
                        REF_LABEL, FWD, 0, "null", 0)
         graph.is_ref_added = True
 
-    K = graph.K
-    minq = graph.MIN_QUAL_CALL
 
-    # ---- gather post-trim read views -------------------------------------
+def _gather(graph):
+    """Post-trim read views + metadata; accumulates graph.totalreadbp."""
+    K = graph.K
     seqs = []
     quals = []
     metas = []  # (readid, sample, strand, is_ref, name, mate_order)
@@ -122,16 +120,13 @@ def build_graph_fast(graph, refinfo) -> None:
         quals.append(np.frombuffer(q.encode("latin-1"), np.uint8))
         metas.append((i, info.label, info.strand, info.label == REF_LABEL,
                       info.readname, info.mate_order))
+    return seqs, quals, metas
 
-    if not seqs:
-        refinfo.compute_coverage(TMR)
-        refinfo.compute_coverage(NML)
-        return
 
-    # ---- concatenated mer streams ---------------------------------------
-    # One sliding pass over all reads joined with a K-wide sentinel gap
-    # (0xFF never matches and never passes quality), then keep only
-    # windows fully inside one read.
+def _concat(seqs, quals, K):
+    """Concatenated read/qual stream joined with (K+1)-wide 0xFF/0 gaps
+    (gap bytes never match and never pass quality, so cross-read windows
+    self-mask)."""
     GAP = K + 1
     read_lens = np.array([s.size for s in seqs], np.int32)
     reads_n = len(seqs)
@@ -145,6 +140,184 @@ def build_graph_fast(graph, refinfo) -> None:
         cat[off : off + s.size] = s
         qcat[off : off + s.size] = q
         off += s.size + GAP
+    return cat, qcat, starts, read_lens
+
+
+def build_graph_native(graph, refinfo) -> bool:
+    """C++ kernel path (native/lancet_native.cc lgb_build): same end state
+    as build_graph_fast; returns False when the native toolchain is
+    unavailable so the caller can fall back to the numpy path."""
+    assert not graph.LR_MODE
+    try:
+        from ..native import dbg_build, load_library
+
+        load_library()
+    except Exception:
+        return False
+
+    _add_ref_read(graph, refinfo)
+    K = graph.K
+    minq = graph.MIN_QUAL_CALL
+    seqs, quals, metas = _gather(graph)
+    if not seqs:
+        refinfo.compute_coverage(TMR)
+        refinfo.compute_coverage(NML)
+        return True
+
+    cat, qcat, starts, read_lens = _concat(seqs, quals, K)
+    sample = np.array([m[1] for m in metas], np.int32)
+    strand = np.array([m[2] for m in metas], np.int32)
+    order = np.array([m[5] for m in metas], np.int32)
+    names = [m[4].encode("latin-1") for m in metas]
+    name_off = np.zeros(len(names) + 1, np.int64)
+    np.cumsum([len(nm) for nm in names], out=name_off[1:])
+    name_blob = np.frombuffer(b"".join(names), np.uint8) if names else \
+        np.zeros(0, np.uint8)
+
+    avgcov = graph.totalreadbp / len(refinfo.rawseq)
+    refseq = np.frombuffer(refinfo.seq.encode("latin-1"), np.uint8)
+    res = dbg_build(cat, qcat, starts, read_lens, sample, strand, order,
+                    name_off, name_blob, K, minq, avgcov,
+                    graph.LOW_COV_THRESHOLD, graph.MIN_COV_RATIO, refseq)
+
+    # ---- materialize (same end state as the numpy tail) -------------------
+    n_nodes = res["n_nodes"]
+    blob = res["mers"].tobytes()
+    mer_strings = [blob[i * K : (i + 1) * K].decode("latin-1")
+                   for i in range(n_nodes)]
+    flags = res["flags"]
+    low = (flags & 8) != 0
+    in_ref = (flags & 4) != 0
+    cov = res["cov"]
+    fwd_t, rev_t, fwd_n, rev_n = (cov[:, 0], cov[:, 1], cov[:, 2],
+                                  cov[:, 3])
+    mq = res["mq"]  # [4, n, K]: t fwd, t rev, n fwd, n rev
+
+    refinfo.index_mers()
+    for sample_id, fwd_c, rev_c, fbit, rbit, table in (
+            (TMR, fwd_t, rev_t, 16, 32, refinfo.mertable_tmr),
+            (NML, fwd_n, rev_n, 64, 128, refinfo.mertable_nml)):
+        seen_f = (flags & fbit) != 0
+        seen_r = (flags & rbit) != 0
+        for nid in np.nonzero(in_ref & (seen_f | seen_r))[0]:
+            row = table[mer_strings[nid]]
+            if seen_f[nid]:
+                row[0] = fwd_c[nid]
+            if seen_r[nid]:
+                row[1] = rev_c[nid]
+    refinfo.compute_coverage(TMR)
+    refinfo.compute_coverage(NML)
+
+    # map insertion order = node creation order (native ids are
+    # first-occurrence order, which equals argsort(first_time))
+    nodes = graph.nodes
+    for s in mer_strings:
+        nodes[s] = None
+    for nid in np.nonzero(low)[0]:
+        del nodes[mer_strings[nid]]
+
+    surv_ids = np.nonzero(~low)[0]
+    ns = surv_ids.size
+    cd_t_all = np.zeros((ns, K, 10), np.int32)
+    cd_n_all = np.zeros((ns, K, 10), np.int32)
+    cd_t_all[:, :, 0] = fwd_t[surv_ids, None]
+    cd_t_all[:, :, 1] = rev_t[surv_ids, None]
+    cd_t_all[:, :, 2] = mq[0][surv_ids]
+    cd_t_all[:, :, 3] = mq[1][surv_ids]
+    cd_n_all[:, :, 0] = fwd_n[surv_ids, None]
+    cd_n_all[:, :, 1] = rev_n[surv_ids, None]
+    cd_n_all[:, :, 2] = mq[2][surv_ids]
+    cd_n_all[:, :, 3] = mq[3][surv_ids]
+    is_tumor = (flags & 1) != 0
+    is_normal = (flags & 2) != 0
+    node_objs = _materialize_nodes(
+        graph, mer_strings, surv_ids, K, minq, fwd_t, rev_t, fwd_n, rev_n,
+        is_tumor, is_normal, in_ref, res["tot_cov"], res["mincov_qv"],
+        cd_t_all, cd_n_all)
+
+    dirs = (FF, FR, RF, RR)
+    esrc, edst, edir = res["esrc"], res["edst"], res["edir"]
+    for ei in range(esrc.size):
+        e = Edge(mer_strings[int(edst[ei])], dirs[int(edir[ei])])
+        node_objs[int(esrc[ei])].edges.append(e)
+
+    for node in node_objs.values():
+        nodes[node.nodeid] = node
+    return True
+
+
+def _materialize_nodes(graph, mer_strings, surv_ids, K, minq, fwd_t, rev_t,
+                       fwd_n, rev_n, is_tumor, is_normal, touch_ref,
+                       mincov_all, mincov_qv, cd_t_all, cd_n_all):
+    """Node objects for surviving node ids (shared by numpy/native paths)."""
+    node_objs: dict[int, Node] = {}
+    for si in range(surv_ids.size):
+        nid = int(surv_ids[si])
+        node = Node.__new__(Node)
+        node.nodeid = mer_strings[nid]
+        node.K = K
+        node.str_m = node.nodeid
+        node.cov_tmr_fwd = float(fwd_t[nid])
+        node.cov_tmr_rev = float(rev_t[nid])
+        node.cov_nml_fwd = float(fwd_n[nid])
+        node.cov_nml_rev = float(rev_n[nid])
+        node.is_ref = False
+        node.is_tumor = bool(is_tumor[nid])
+        node.is_normal = bool(is_normal[nid])
+        node.is_source = False
+        node.is_sink = False
+        node.dead = False
+        node.component = 0
+        node.touch_ref = bool(touch_ref[nid])
+        node.on_ref_path = 0
+        node.color = 0
+        node.min_qual = minq
+        node.mincov = int(mincov_all[nid])
+        node.mincov_qv = int(mincov_qv[nid])
+        if node.is_tumor and node.is_normal:
+            status = b"B"
+        elif node.is_tumor:
+            status = b"T"
+        elif node.is_normal:
+            status = b"N"
+        else:
+            status = b"E"
+        node.cov_status = bytearray(status * K)
+        node.cov_distr_tmr = cd_t_all[si]
+        node.cov_distr_nml = cd_n_all[si]
+        node.edges = []
+        node.reads = set()
+        node.bx_tmr_fwd = set()
+        node.bx_tmr_rev = set()
+        node.bx_nml_fwd = set()
+        node.bx_nml_rev = set()
+        node.hpset_tmr = [0, 0, 0]
+        node.hpset_nml = [0, 0, 0]
+        node.mate1_name = []
+        node.mate2_name = []
+        node.readstarts = []
+        node_objs[nid] = node
+    return node_objs
+
+
+def build_graph_fast(graph, refinfo) -> None:
+    """Equivalent of Graph.buildgraph (fast path; no LR mode)."""
+    assert not graph.LR_MODE
+    _add_ref_read(graph, refinfo)
+
+    K = graph.K
+    minq = graph.MIN_QUAL_CALL
+
+    seqs, quals, metas = _gather(graph)
+
+    if not seqs:
+        refinfo.compute_coverage(TMR)
+        refinfo.compute_coverage(NML)
+        return
+
+    cat, qcat, starts, read_lens = _concat(seqs, quals, K)
+    reads_n = len(seqs)
+    tot = cat.size
 
     n_per_read = read_lens - K + 1  # mers per read (all >= 2 here)
     n_mers = int(n_per_read.sum())
@@ -345,55 +518,10 @@ def build_graph_fast(graph, refinfo) -> None:
     cd_n_all[:, :, 1] = rev_n[surv_ids, None]
     cd_n_all[:, :, 2] = mqf_n[surv_ids]
     cd_n_all[:, :, 3] = mqr_n[surv_ids]
-    tum_s = is_tumor[surv_ids]
-    nml_s = is_normal[surv_ids]
-    node_objs: dict[int, Node] = {}
-    for si in range(ns):
-        nid = int(surv_ids[si])
-        node = Node.__new__(Node)
-        node.nodeid = mer_strings[nid]
-        node.K = K
-        node.str_m = node.nodeid
-        node.cov_tmr_fwd = float(fwd_t[nid])
-        node.cov_tmr_rev = float(rev_t[nid])
-        node.cov_nml_fwd = float(fwd_n[nid])
-        node.cov_nml_rev = float(rev_n[nid])
-        node.is_ref = False
-        node.is_tumor = bool(tum_s[si])
-        node.is_normal = bool(nml_s[si])
-        node.is_source = False
-        node.is_sink = False
-        node.dead = False
-        node.component = 0
-        node.touch_ref = bool(mer_in_ref[nid])
-        node.on_ref_path = 0
-        node.color = 0
-        node.min_qual = minq
-        node.mincov = int(mincov_all[nid])
-        node.mincov_qv = int(mincov_qv[nid])
-        if node.is_tumor and node.is_normal:
-            status = b"B"
-        elif node.is_tumor:
-            status = b"T"
-        elif node.is_normal:
-            status = b"N"
-        else:
-            status = b"E"
-        node.cov_status = bytearray(status * K)
-        node.cov_distr_tmr = cd_t_all[si]
-        node.cov_distr_nml = cd_n_all[si]
-        node.edges = []
-        node.reads = set()
-        node.bx_tmr_fwd = set()
-        node.bx_tmr_rev = set()
-        node.bx_nml_fwd = set()
-        node.bx_nml_rev = set()
-        node.hpset_tmr = [0, 0, 0]
-        node.hpset_nml = [0, 0, 0]
-        node.mate1_name = []
-        node.mate2_name = []
-        node.readstarts = []
-        node_objs[nid] = node
+    node_objs = _materialize_nodes(
+        graph, mer_strings, surv_ids, K, minq, fwd_t, rev_t, fwd_n, rev_n,
+        is_tumor, is_normal, mer_in_ref, mincov_all, mincov_qv,
+        cd_t_all, cd_n_all)
 
     for ei in eorder:
         if not edge_keep[ei]:

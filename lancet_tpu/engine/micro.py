@@ -356,8 +356,11 @@ class Microassembler:
             use_fast = (self.engine == "tpu" and not self.cfg.lr_mode
                         and not self.cfg.kmer_recovery)
             if use_fast:
-                from .fastbuild import build_graph_fast
-                build_graph_fast(g, refinfo)  # fuses markRefNodes + low-cov prune
+                # fuses markRefNodes + low-cov prune; C++ kernel when the
+                # toolchain is available, numpy otherwise (identical state)
+                from .fastbuild import build_graph_fast, build_graph_native
+                if not build_graph_native(g, refinfo):
+                    build_graph_fast(g, refinfo)
             else:
                 g.buildgraph(refinfo)
                 if self.cfg.kmer_recovery:

@@ -568,3 +568,314 @@ char* lfa_fetch(void* h, const char* chrom, long start, long end,
 void lfa_free(char* p) { std::free(p); }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Colored-DBG build kernel (host compute plane).
+//
+// Native equivalent of engine/fastbuild.py's numpy passes (which themselves
+// replace the reference's per-character k-mer stream, Graph.cc:119-349):
+// canonical-mer grouping, per-node coverage / min-quality counters, status
+// colors, first-occurrence creation order, directed edge list ordered by
+// first event time, the mate-overlap dedup replay (std::binary_search over
+// push-ordered name vectors — here run natively, exactly the reference's
+// call, Graph.cc:232-317 / Node.cc:638-671), reference-mer membership, and
+// the fused removeLowCov prune decision (Graph.cc:2790-2827).
+//
+// Input is the concatenated post-trim read bytes/qualities with K+1-byte
+// 0xFF gaps (same layout fastbuild builds); outputs are flat arrays the
+// Python side materializes into Node objects. Equality with the numpy path
+// (and transitively the oracle engine) is asserted by tests.
+// ---------------------------------------------------------------------------
+
+#include <string_view>
+#include <unordered_map>
+#include <unordered_set>
+
+namespace lgb {
+
+struct Out {
+  int64_t n_nodes = 0, n_edges = 0;
+  uint8_t* mers = nullptr;      // n_nodes*K canonical bytes, creation order
+  int32_t* cov = nullptr;       // 4*n_nodes: fwd_t, rev_t, fwd_n, rev_n
+  int32_t* mq = nullptr;        // 4*n_nodes*K: mqf_t, mqr_t, mqf_n, mqr_n
+  uint8_t* flags = nullptr;     // bit0 tumor, bit1 normal, bit2 in_ref,
+                                // bit3 low, bit4..7 seen f/r tumor, f/r normal
+  int32_t* mincov_qv = nullptr; // n_nodes
+  int32_t* tot_cov = nullptr;   // n_nodes
+  int32_t* esrc = nullptr;      // surviving edges, event-time order
+  int32_t* edst = nullptr;
+  uint8_t* edir = nullptr;      // 0=FF 1=FR 2=RF 3=RR
+};
+
+constexpr uint8_t F_TUMOR = 1, F_NORMAL = 2, F_INREF = 4, F_LOW = 8,
+                  F_SEENF_T = 16, F_SEENR_T = 32, F_SEENF_N = 64,
+                  F_SEENR_N = 128;
+
+struct SvHash {
+  size_t operator()(std::string_view s) const noexcept {
+    return std::hash<std::string_view>{}(s);
+  }
+};
+
+inline void comp_table(uint8_t* t) {
+  std::memset(t, 0, 256);
+  const char* a = "ACGTacgtNn";
+  const char* b = "TGCAtgcaNn";
+  for (int i = 0; i < 10; ++i) t[(uint8_t)a[i]] = (uint8_t)b[i];
+}
+
+}  // namespace lgb
+
+extern "C" {
+
+// Build the window's colored DBG arrays. See Out for the result layout.
+// sample: TMR=4 NML=5 (REF pseudo-read = 3); strand: FWD=1 REV=2.
+void* lgb_build(const uint8_t* cat, const uint8_t* qcat, int64_t tot,
+                int64_t n_reads, const int64_t* starts, const int32_t* lens,
+                const int32_t* sample, const int32_t* strand,
+                const int32_t* order, const int64_t* name_off,
+                const uint8_t* name_blob, int K, int minq, double avgcov,
+                int low_cov_threshold, double min_cov_ratio,
+                const uint8_t* refseq, int64_t reflen) {
+  auto* out = new lgb::Out();
+  uint8_t comp[256];
+  lgb::comp_table(comp);
+
+  // reverse complement of the whole concatenated stream: the revcomp of the
+  // K-window at offset o is rc_cat[tot - o - K .. tot - o).
+  std::vector<uint8_t> rc_cat(tot);
+  for (int64_t i = 0; i < tot; ++i) rc_cat[i] = comp[cat[tot - 1 - i]];
+
+  // per-mer visit tables ----------------------------------------------------
+  int64_t n_mers = 0;
+  for (int64_t r = 0; r < n_reads; ++r) n_mers += lens[r] - K + 1;
+  std::vector<int32_t> nid(n_mers);        // node id (first-occurrence order)
+  std::vector<uint8_t> orif(n_mers);       // canonical orientation forward?
+  std::vector<int32_t> vread(n_mers);      // read index
+  std::vector<int32_t> vpos(n_mers);       // mer offset within read
+  std::vector<const uint8_t*> canon(n_mers);
+
+  // quality prefix: ok(o) == no byte in qcat[o..o+K] below minq (gap bytes
+  // are 0, always below, so cross-read windows self-mask)
+  std::vector<int32_t> qbad(tot + 1, 0);
+  for (int64_t i = 0; i < tot; ++i)
+    qbad[i + 1] = qbad[i] + (qcat[i] < minq ? 1 : 0);
+  auto pair_ok_at = [&](int64_t o) {
+    if (o + K >= tot) return false;
+    return qbad[o + K + 1] - qbad[o] == 0;
+  };
+
+  std::unordered_map<std::string_view, int32_t, lgb::SvHash> node_of;
+  node_of.reserve((size_t)n_mers * 2);
+  std::vector<const uint8_t*> rep;  // canonical bytes per node
+  rep.reserve(1024);
+
+  int64_t g = 0;
+  for (int64_t r = 0; r < n_reads; ++r) {
+    const int32_t nm = lens[r] - K + 1;
+    const int64_t base = starts[r];
+    for (int32_t p = 0; p < nm; ++p, ++g) {
+      const int64_t o = base + p;
+      const uint8_t* fw = cat + o;
+      const uint8_t* rc = rc_cat.data() + (tot - o - K);
+      const int c = std::memcmp(fw, rc, K);
+      const bool isF = c < 0;  // palindrome (c==0) orients R, like the oracle
+      const uint8_t* cn = isF ? fw : rc;
+      auto [it, inserted] = node_of.try_emplace(
+          std::string_view((const char*)cn, K), (int32_t)rep.size());
+      if (inserted) rep.push_back(cn);
+      nid[g] = it->second;
+      orif[g] = isF;
+      vread[g] = (int32_t)r;
+      vpos[g] = p;
+      canon[g] = cn;
+    }
+  }
+  const int64_t n_nodes = (int64_t)rep.size();
+
+  // mate-overlap dedup replay (paired, non-ref visits only): per pair p
+  // (mer p non-last) the reference pushes u then v, probes u iff pos==0,
+  // then probes v — std::binary_search over the OTHER mate-order's
+  // push-ordered (unsorted) vector.
+  std::vector<uint8_t> skip(n_mers, 0);
+  {
+    std::vector<std::vector<std::string_view>> mate1(n_nodes), mate2(n_nodes);
+    bool any_paired = false;
+    for (int64_t r = 0; r < n_reads; ++r)
+      if (order[r] > 0) { any_paired = true; break; }
+    if (any_paired) {
+      auto name_of = [&](int32_t r) {
+        return std::string_view((const char*)name_blob + name_off[r],
+                                (size_t)(name_off[r + 1] - name_off[r]));
+      };
+      for (int64_t i = 0; i < n_mers; ++i) {
+        const int32_t r = vread[i];
+        const int32_t o = order[r];
+        if (o == 0 || sample[r] == 3) continue;
+        const int32_t last = lens[r] - K;  // pos of final mer
+        if (vpos[i] == last) continue;     // pairs exist for non-last mers
+        const std::string_view nm = name_of(r);
+        auto& self_u = (o == 1) ? mate1[nid[i]] : mate2[nid[i]];
+        auto& self_v = (o == 1) ? mate1[nid[i + 1]] : mate2[nid[i + 1]];
+        self_u.push_back(nm);
+        self_v.push_back(nm);
+        if (vpos[i] == 0) {
+          auto& other = (o == 1) ? mate2[nid[i]] : mate1[nid[i]];
+          if (std::binary_search(other.begin(), other.end(), nm)) skip[i] = 1;
+        }
+        auto& other_v = (o == 1) ? mate2[nid[i + 1]] : mate1[nid[i + 1]];
+        if (std::binary_search(other_v.begin(), other_v.end(), nm))
+          skip[i + 1] = 1;
+      }
+    }
+  }
+
+  // counters / flags ----------------------------------------------------
+  out->n_nodes = n_nodes;
+  out->mers = (uint8_t*)std::malloc((size_t)n_nodes * K);
+  for (int64_t n = 0; n < n_nodes; ++n)
+    std::memcpy(out->mers + n * K, rep[n], K);
+  out->cov = (int32_t*)std::calloc((size_t)n_nodes * 4, 4);
+  out->mq = (int32_t*)std::calloc((size_t)n_nodes * 4 * K, 4);
+  out->flags = (uint8_t*)std::calloc(n_nodes, 1);
+  out->mincov_qv = (int32_t*)std::malloc((size_t)n_nodes * 4);
+  out->tot_cov = (int32_t*)std::malloc((size_t)n_nodes * 4);
+  int32_t* cov = out->cov;
+  int32_t* mq = out->mq;
+  uint8_t* flags = out->flags;
+
+  for (int64_t i = 0; i < n_mers; ++i) {
+    const int32_t r = vread[i];
+    const int32_t sm = sample[r];
+    if (sm == 3) continue;  // ref pseudo-read: no coverage, no colors
+    const int64_t n = nid[i];
+    if (sm == 5) flags[n] |= lgb::F_NORMAL;  // unconditional, incl. skipped
+    // tumor color: quality-clean (K+1)-window pair, u and v side
+    if (sm == 4 && vpos[i] != lens[r] - K) {
+      const int64_t o = starts[r] + vpos[i];
+      if (pair_ok_at(o)) {
+        flags[n] |= lgb::F_TUMOR;
+        flags[nid[i + 1]] |= lgb::F_TUMOR;
+      }
+    }
+    if (skip[i]) continue;  // dedup-skipped coverage visit
+    const bool fwd = strand[r] == 1;
+    const int col = (sm == 4 ? 0 : 2) + (fwd ? 0 : 1);
+    cov[n * 4 + col] += 1;
+    flags[n] |= (uint8_t)(lgb::F_SEENF_T << col);
+    // per-base min-quality counts in canonical orientation
+    const int64_t o = starts[r] + vpos[i];
+    int32_t* row = mq + ((int64_t)col * n_nodes + n) * K;
+    if (orif[i]) {
+      const uint8_t* q = qcat + o;
+      for (int j = 0; j < K; ++j) row[j] += (q[j] >= minq);
+    } else {
+      const uint8_t* q = qcat + o + K - 1;
+      for (int j = 0; j < K; ++j) row[j] += (q[-j] >= minq);
+    }
+  }
+
+  // reference-window mer membership (markRefNodes at k-mer stage): the
+  // per-k index covers offsets [0, reflen-K) of the *trimmed* window seq
+  // (final mer excluded, Ref.cc:51).
+  {
+    std::vector<uint8_t> rc_ref(reflen);
+    for (int64_t i = 0; i < reflen; ++i) rc_ref[i] = comp[refseq[reflen - 1 - i]];
+    std::unordered_set<std::string_view, lgb::SvHash> refset;
+    const int64_t nref = reflen - K;  // final mer excluded
+    for (int64_t i = 0; i < nref; ++i) {
+      const uint8_t* fw = refseq + i;
+      const uint8_t* rc = rc_ref.data() + (reflen - i - K);
+      const uint8_t* cn = std::memcmp(fw, rc, K) < 0 ? fw : rc;
+      refset.insert(std::string_view((const char*)cn, K));
+    }
+    for (int64_t n = 0; n < n_nodes; ++n)
+      if (refset.count(std::string_view((const char*)rep[n], K)))
+        flags[n] |= lgb::F_INREF;
+  }
+
+  // prune decision (removeLowCov semantics fused at k-mer stage) ---------
+  std::vector<uint8_t> low(n_nodes, 0);
+  for (int64_t n = 0; n < n_nodes; ++n) {
+    int32_t mqv = INT32_MAX;
+    for (int j = 0; j < K; ++j) {
+      int32_t s = 0;
+      for (int c = 0; c < 4; ++c) s += mq[((int64_t)c * n_nodes + n) * K + j];
+      if (s < mqv) mqv = s;
+    }
+    const int32_t ft = cov[n * 4 + 0], rt = cov[n * 4 + 1];
+    const int32_t fn = cov[n * 4 + 2], rn = cov[n * 4 + 3];
+    out->mincov_qv[n] = mqv;
+    out->tot_cov[n] = ft + rt + fn + rn;
+    if (mqv <= low_cov_threshold || (double)mqv <= min_cov_ratio * avgcov ||
+        (ft + rt == 1 && fn + rn == 1)) {
+      low[n] = 1;
+      flags[n] |= lgb::F_LOW;
+    }
+  }
+
+  // edges: per pair two directed edges with event times 2p / 2p+1; unique
+  // (src,dst,dir) keeps min time; output = survivors sorted by that time
+  // (times are globally distinct, so no tie-break is ever consulted).
+  {
+    std::unordered_map<uint64_t, int64_t> emin;
+    emin.reserve((size_t)n_mers * 2);
+    for (int64_t i = 0; i < n_mers; ++i) {
+      const int32_t r = vread[i];
+      if (vpos[i] == lens[r] - K) continue;
+      const int64_t u = nid[i], v = nid[i + 1];
+      if (low[u] || low[v]) continue;
+      const bool uF = orif[i], vF = orif[i + 1];
+      const uint8_t fd = uF ? (vF ? 0 : 1) : (vF ? 2 : 3);
+      const uint8_t rd = uF ? (vF ? 3 : 1) : (vF ? 2 : 0);
+      const uint64_t kf = ((uint64_t)u << 34) | ((uint64_t)v << 2) | fd;
+      const uint64_t kr = ((uint64_t)v << 34) | ((uint64_t)u << 2) | rd;
+      auto [itf, insf] = emin.try_emplace(kf, 2 * i);
+      if (!insf && itf->second > 2 * i) itf->second = 2 * i;
+      auto [itr, insr] = emin.try_emplace(kr, 2 * i + 1);
+      if (!insr && itr->second > 2 * i + 1) itr->second = 2 * i + 1;
+    }
+    std::vector<std::pair<int64_t, uint64_t>> es;  // (time, key)
+    es.reserve(emin.size());
+    for (auto& kv : emin) es.emplace_back(kv.second, kv.first);
+    std::sort(es.begin(), es.end());
+    out->n_edges = (int64_t)es.size();
+    out->esrc = (int32_t*)std::malloc(es.size() * 4);
+    out->edst = (int32_t*)std::malloc(es.size() * 4);
+    out->edir = (uint8_t*)std::malloc(es.size());
+    for (size_t e = 0; e < es.size(); ++e) {
+      out->esrc[e] = (int32_t)(es[e].second >> 34);
+      out->edst[e] = (int32_t)((es[e].second >> 2) & ((1u << 30) - 1));
+      out->edir[e] = (uint8_t)(es[e].second & 3);
+    }
+  }
+  return out;
+}
+
+int64_t lgb_n_nodes(void* h) { return ((lgb::Out*)h)->n_nodes; }
+int64_t lgb_n_edges(void* h) { return ((lgb::Out*)h)->n_edges; }
+const uint8_t* lgb_mers(void* h) { return ((lgb::Out*)h)->mers; }
+const int32_t* lgb_cov(void* h) { return ((lgb::Out*)h)->cov; }
+const int32_t* lgb_mq(void* h) { return ((lgb::Out*)h)->mq; }
+const uint8_t* lgb_flags(void* h) { return ((lgb::Out*)h)->flags; }
+const int32_t* lgb_mincov_qv(void* h) { return ((lgb::Out*)h)->mincov_qv; }
+const int32_t* lgb_tot_cov(void* h) { return ((lgb::Out*)h)->tot_cov; }
+const int32_t* lgb_esrc(void* h) { return ((lgb::Out*)h)->esrc; }
+const int32_t* lgb_edst(void* h) { return ((lgb::Out*)h)->edst; }
+const uint8_t* lgb_edir(void* h) { return ((lgb::Out*)h)->edir; }
+
+void lgb_result_free(void* h) {
+  auto* o = (lgb::Out*)h;
+  std::free(o->mers);
+  std::free(o->cov);
+  std::free(o->mq);
+  std::free(o->flags);
+  std::free(o->mincov_qv);
+  std::free(o->tot_cov);
+  std::free(o->esrc);
+  std::free(o->edst);
+  std::free(o->edir);
+  delete o;
+}
+
+}  // extern "C"

@@ -1,0 +1,36 @@
+"""The C++ DBG build kernel (native lgb_build) must be interchangeable with
+the numpy fast path — identical VCFs end-to-end on every scenario family
+(both already proven equal to the oracle engine by test_engine_equiv and
+the golden corpus)."""
+
+import pytest
+
+import lancet_tpu.engine.fastbuild as fb
+from lancet_tpu.config import Config
+from lancet_tpu.runner import run
+from tests.goldengen import ALL_SCENARIOS, scenario
+from tests.helpers import write_pair
+
+
+def _native_available() -> bool:
+    try:
+        from lancet_tpu.native import load_library
+
+        load_library()
+        return True
+    except Exception:
+        return False
+
+
+@pytest.mark.skipif(not _native_available(), reason="no native toolchain")
+@pytest.mark.parametrize("name", ALL_SCENARIOS)
+def test_native_build_matches_numpy(tmp_path, monkeypatch, name):
+    refseq, tumor, normal, region = scenario(name, 3)
+    ref_path, t_path, n_path = write_pair(str(tmp_path), refseq, "chr1",
+                                          tumor, normal)
+    cfg = Config(tumor_bam=t_path, normal_bam=n_path, ref_fasta=ref_path,
+                 region=region)
+    v_native = run(cfg, command_line="x", date="D\n", engine="tpu")
+    monkeypatch.setattr(fb, "build_graph_native", lambda g, r: False)
+    v_numpy = run(cfg, command_line="x", date="D\n", engine="tpu")
+    assert v_native == v_numpy
