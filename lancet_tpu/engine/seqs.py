@@ -10,6 +10,29 @@ import numpy as np
 
 _RC = str.maketrans("ACGTacgtNn", "TGCAtgcaNn")
 
+_NATIVE = None  # 0 = unavailable, else the loaded ctypes lib
+
+
+def _native():
+    global _NATIVE
+    if _NATIVE is None:
+        try:
+            from ..native import load_library
+
+            lib = load_library()
+            import ctypes
+
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+            lib.lsq_is_repeat.restype = ctypes.c_int
+            lib.lsq_is_repeat.argtypes = [u8p, ctypes.c_int64, ctypes.c_int]
+            lib.lsq_is_almost_repeat.restype = ctypes.c_int
+            lib.lsq_is_almost_repeat.argtypes = [u8p, ctypes.c_int64,
+                                                 ctypes.c_int, ctypes.c_int]
+            _NATIVE = lib
+        except Exception:
+            _NATIVE = 0
+    return _NATIVE
+
 _DNA = frozenset("ACGTacgt")
 
 _AMBIG = frozenset("MmRrWwSsYyKkVvHhDdBbXx")
@@ -85,6 +108,13 @@ def is_repeat(seq: str, k: int) -> bool:
     n_off = len(seq) - k  # offsets 0 .. n_off-1
     if n_off <= 1:
         return False
+    lib = _native()
+    if lib:
+        b = _as_u8(seq)
+        import ctypes
+
+        return bool(lib.lsq_is_repeat(
+            b.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), b.size, k))
     seen = set()
     for off in range(n_off):
         s = seq[off : off + k]
@@ -104,6 +134,13 @@ def is_almost_repeat(seq: str, k: int, max_mismatch: int) -> bool:
     """
     arr = _as_u8(seq)
     L = arr.size
+    lib = _native()
+    if lib:
+        import ctypes
+
+        return bool(lib.lsq_is_almost_repeat(
+            arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), L, k,
+            max_mismatch))
     w = k + 1  # the reference's pattern length quirk
     max_pat = L - k - 1  # pattern offsets 0..L-k-1
     max_i = L - k - 1  # candidate starts must fit the full K+1 window

@@ -879,3 +879,68 @@ void lgb_result_free(void* h) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Repeat scans (host fallback of the device gate kernels; ref util.cc
+// semantics — see engine/seqs.py docstrings for the exact loop bounds).
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// exact duplicate k-mer among offsets [0, L-k) (final k-mer excluded)
+int lsq_is_repeat(const uint8_t* s, int64_t L, int k) {
+  const int64_t n_off = L - k;
+  if (n_off <= 1) return 0;
+  std::unordered_set<std::string_view, lgb::SvHash> seen;
+  seen.reserve((size_t)n_off * 2);
+  for (int64_t off = 0; off < n_off; ++off)
+    if (!seen.insert(std::string_view((const char*)s + off, k)).second)
+      return 1;
+  return 0;
+}
+
+// near-duplicate (k+1)-length window with <= maxmm mismatches between
+// pattern offset p and candidate start i > p, both in [0, L-k-1].
+// Pigeonhole filter: split the (k+1)-window into maxmm+1 contiguous
+// chunks; any pair within the mismatch budget must share at least one
+// aligned chunk exactly, so only bucket collisions need verification.
+int lsq_is_almost_repeat(const uint8_t* s, int64_t L, int k, int maxmm) {
+  const int64_t maxp = L - k - 1;
+  if (maxp < 1) return 0;
+  const int w = k + 1;
+  const int parts = maxmm + 1;
+  if (w < parts) {  // degenerate: chunks would be empty; brute force
+    for (int64_t p = 0; p <= maxp; ++p)
+      for (int64_t i = p + 1; i <= maxp; ++i) {
+        int mm = 0;
+        for (int j = 0; j < w && mm <= maxmm; ++j) mm += s[p + j] != s[i + j];
+        if (mm <= maxmm) return 1;
+      }
+    return 0;
+  }
+  auto verify = [&](int64_t p, int64_t i) {
+    int mm = 0;
+    for (int j = 0; j < w; ++j) {
+      mm += s[p + j] != s[i + j];
+      if (mm > maxmm) return false;
+    }
+    return true;
+  };
+  std::unordered_map<std::string_view, std::vector<int32_t>, lgb::SvHash>
+      buckets;
+  buckets.reserve((size_t)(maxp + 1) * 2);
+  for (int t = 0; t < parts; ++t) {
+    const int ot = (int)((int64_t)w * t / parts);
+    const int lt = (int)((int64_t)w * (t + 1) / parts) - ot;
+    buckets.clear();
+    for (int64_t p = 0; p <= maxp; ++p) {
+      auto& v = buckets[std::string_view((const char*)s + p + ot, lt)];
+      for (int32_t q : v)
+        if (verify(q, p)) return 1;
+      v.push_back((int32_t)p);
+    }
+  }
+  return 0;
+}
+
+}  // extern "C"

@@ -194,7 +194,12 @@ def run(cfg: Config, command_line: str = "lancet-tpu", date: str | None = None,
                  "lancet_tpu.io.bam", "lancet_tpu.native"])
         except (ValueError, AttributeError):
             ctx = mp.get_context("spawn")
-        with cf.ProcessPoolExecutor(max_workers=min(cfg.num_threads, 8),
+        import os as _os
+
+        # workers beyond the physical cores only add fork + pickle + context
+        # switch overhead; shard count stays num_threads (result-identical)
+        n_workers = max(1, min(cfg.num_threads, _os.cpu_count() or 8))
+        with cf.ProcessPoolExecutor(max_workers=n_workers,
                                     mp_context=ctx) as ex:
             futs = [ex.submit(_run_shard, cfg_eff, cfg.tumor_bam,
                               cfg.normal_bam, shard, engine, i,
