@@ -337,6 +337,15 @@ class Microassembler:
             return 0
         numreads = len(g.readid2info)
 
+        use_fast = (self.engine == "tpu" and not self.cfg.lr_mode
+                    and not self.cfg.kmer_recovery)
+        # full native per-k pipeline (build through path cover in C++);
+        # DOT export needs live Python graph objects, so it opts out
+        use_pipe = False
+        if use_fast and not self.cfg.print_graph:
+            from .fastpipe import available
+            use_pipe = available()
+
         for k in range(minkmer, maxkmer + 1, 2):
             g.set_k(k)
             refinfo.set_k(k)
@@ -353,8 +362,17 @@ class Microassembler:
                 if is_almost_repeat(refinfo.rawseq, k, self.cfg.max_mismatch):
                     continue
 
-            use_fast = (self.engine == "tpu" and not self.cfg.lr_mode
-                        and not self.cfg.kmer_recovery)
+            if use_pipe:
+                from .fastpipe import (STATUS_CYCLE, STATUS_REPEAT,
+                                       run_k_native)
+                st = run_k_native(g, refinfo, self.cfg)
+                if st is not None:
+                    if st in (STATUS_CYCLE, STATUS_REPEAT):
+                        g.clear(False)
+                        continue
+                    break
+                use_pipe = False  # native error: python path from this k on
+
             if use_fast:
                 # fuses markRefNodes + low-cov prune; C++ kernel when the
                 # toolchain is available, numpy otherwise (identical state)

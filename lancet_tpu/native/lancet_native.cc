@@ -944,3 +944,987 @@ int lsq_is_almost_repeat(const uint8_t* s, int64_t L, int k, int maxmm) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Full per-k graph pipeline (host compute plane).
+//
+// Native transliteration of engine/graph.py + node.py + path.py (which are
+// themselves the behavior-exact re-expression of the reference's
+// Graph.cc/Node.cc/Path.cc): connected components, source/sink anchoring
+// with CLIP_REF_ENDS, cycle DFS, unitig compression, low-cov/tip/short-link
+// cleanup, graph-path repeat gate, and the Edmonds-Karp-style best-new-edge
+// path cover. The node table is a real libstdc++ unordered_map<string,...>,
+// so the reference's iteration order (which decides compression survivor
+// choice and coverage-row donation) holds natively instead of via the
+// cpp_hash emulation. Output is a batch of PathJob records (path sequence,
+// per-base coverage, tumor-span mask, DP-needed flag) plus the reference
+// coverage projection and the window-seq trim state; Python runs the
+// device-batched alignment and the transcript/variant stages.
+//
+// Any internal inconsistency throws; lgp_run catches and returns status 3,
+// and the caller falls back to the Python engine for that window.
+// ---------------------------------------------------------------------------
+
+#include <cmath>
+#include <deque>
+#include <memory>
+#include <stdexcept>
+
+namespace lgp {
+
+using Dir = uint8_t;               // node orientation: 0=F 1=R
+using EDir = uint8_t;              // edge dir: 0=FF 1=FR 2=RF 3=RR
+constexpr Dir F = 0, R = 1;
+inline Dir ed_start(EDir d) { return d <= 1 ? F : R; }
+inline Dir ed_dest(EDir d) { return (d == 0 || d == 2) ? F : R; }
+inline EDir flipme(EDir d) { constexpr EDir t[4] = {2, 3, 0, 1}; return t[d]; }
+inline EDir fliplink(EDir d) { constexpr EDir t[4] = {3, 1, 2, 0}; return t[d]; }
+
+struct GEdge {
+  std::string nodeid;
+  EDir dir;
+  int flag = 0;
+};
+
+struct GN {
+  std::string id, str;
+  std::string status;              // cov_status bytes
+  double ctf = 0, ctr = 0, cnf = 0, cnr = 0;
+  bool is_ref = false, is_tumor = false, is_normal = false;
+  bool is_source = false, is_sink = false, dead = false;
+  int component = 0;
+  bool touch_ref = false;
+  int color = 0;
+  int32_t mincov = 0, mincov_qv = 0;
+  std::vector<int32_t> covT, covN;  // [L*4]: fwd, rev, mqf, mqr per base
+  std::vector<GEdge> edges;
+
+  bool is_special() const { return is_sink || is_source || is_ref; }
+  int64_t strlen_() const { return is_special() ? 0 : (int64_t)str.size(); }
+  double tot_tmr() const { return ctf + ctr; }
+  double tot_nml() const { return cnf + cnr; }
+  double tot_cov() const { return ctf + ctr + cnf + cnr; }
+
+  bool is_tandem() const {
+    for (const auto& e : edges)
+      if (e.nodeid == id) return true;
+    return false;
+  }
+  int get_buddy(Dir ori) const {  // (node.py get_buddy)
+    if (is_special()) return -1;
+    int ret = -1;
+    for (size_t i = 0; i < edges.size(); ++i)
+      if (ed_start(edges[i].dir) == ori) {
+        if (ret != -1) return -1;
+        ret = (int)i;
+      }
+    if (ret != -1 && edges[ret].nodeid == id) return -1;
+    return ret;
+  }
+  void remove_edge(const std::string& nid, EDir d) {
+    for (size_t i = 0; i < edges.size(); ++i)
+      if (edges[i].nodeid == nid && edges[i].dir == d) {
+        edges.erase(edges.begin() + i);
+        return;
+      }
+    throw std::runtime_error("remove_edge missing");
+  }
+  void update_edge(const std::string& oldid, EDir olddir,
+                   const std::string& newid, EDir newdir) {
+    for (auto& e : edges)
+      if (e.nodeid == oldid && e.dir == olddir) {
+        e.nodeid = newid;
+        e.dir = newdir;
+        return;
+      }
+    throw std::runtime_error("update_edge missing");
+  }
+  void compute_min_cov() {  // over 4-col rows (node.py compute_min_cov)
+    const int64_t L = (int64_t)covT.size() / 4;
+    if (L == 0) { mincov = mincov_qv = 10000000; return; }
+    int32_t mc = INT32_MAX, mq = INT32_MAX;
+    for (int64_t i = 0; i < L; ++i) {
+      const int32_t tot = covT[i * 4] + covT[i * 4 + 1] + covN[i * 4] +
+                          covN[i * 4 + 1];
+      const int32_t totq = covT[i * 4 + 2] + covT[i * 4 + 3] +
+                           covN[i * 4 + 2] + covN[i * 4 + 3];
+      if (tot < mc) mc = tot;
+      if (totq < mq) mq = totq;
+    }
+    mincov = mc;
+    mincov_qv = mq;
+  }
+  bool is_status_cnt_T(int K) const {  // node.py is_status_cnt(ord('T'))
+    int64_t n = 0, cnt = 0;
+    for (size_t i = K - 1; i < status.size(); ++i) {
+      ++n;
+      if (status[i] == 'T') ++cnt;
+    }
+    if (n == 0) return false;
+    return (double)cnt / (double)n > 0.8;
+  }
+};
+
+struct Job {
+  std::string pathseq;
+  std::vector<int32_t> covT, covN;  // L*4
+  std::vector<uint8_t> span;        // L+1 tumor_span
+  int64_t src_off = 0, ref_dist = 0;
+  int32_t trim5 = -1;
+  uint8_t needs_dp = 0;
+};
+
+struct Result {
+  int status = 0;  // 0 ok, 1 cycle, 2 repeat-in-path, 3 internal error
+  int32_t trim5 = -1, trim3 = -1;
+  int seq_set = 0;
+  int64_t seq_off = 0, seq_len = 0;
+  std::vector<int32_t> refcov;  // 4*rawlen: t_fwd, t_rev, n_fwd, n_rev
+  std::vector<Job> jobs;
+};
+
+struct PPath {  // path.py Path
+  std::vector<GN*> nodes;
+  std::vector<GEdge*> edges;
+  std::vector<EDir> edgedir;
+  Dir dir = F;
+  int64_t len_m = 0;
+  int has_cycle_m = 0;
+  int score = 0;
+  int flag = 1;
+};
+
+struct Graph {
+  std::unordered_map<std::string, GN*> nodes;  // the real libstdc++ map
+  std::vector<std::unique_ptr<GN>> pool;
+  GN* source = nullptr;
+  GN* sink = nullptr;
+  int K;
+  uint8_t comp[256];
+
+  ~Graph() = default;
+  GN* alloc(const std::string& id) {
+    pool.emplace_back(new GN());
+    GN* n = pool.back().get();
+    n->id = id;
+    n->str = id;
+    n->status.assign(id.size(), 'E');
+    n->covT.assign(id.size() * 4, 0);
+    n->covN.assign(id.size() * 4, 0);
+    return n;
+  }
+  GN* get(const std::string& id) const {
+    auto it = nodes.find(id);
+    return it == nodes.end() ? nullptr : it->second;
+  }
+  GN* edge_node(const GEdge& e) const { return get(e.nodeid); }
+
+  std::string rc(const std::string& s) const {
+    std::string out(s.size(), 0);
+    for (size_t i = 0; i < s.size(); ++i)
+      out[i] = (char)comp[(uint8_t)s[s.size() - 1 - i]];
+    return out;
+  }
+  // canonical of an arbitrary-length window (mer.py: palindromes orient R)
+  std::pair<std::string, Dir> canonical(const std::string& s) const {
+    std::string r = rc(s);
+    if (s < r) return {s, F};
+    return {std::move(r), R};
+  }
+};
+
+inline std::vector<int32_t> rev_rows(const std::vector<int32_t>& v) {
+  const int64_t L = (int64_t)v.size() / 4;
+  std::vector<int32_t> out(v.size());
+  for (int64_t i = 0; i < L; ++i)
+    for (int c = 0; c < 4; ++c) out[i * 4 + c] = v[(L - 1 - i) * 4 + c];
+  return out;
+}
+
+inline std::vector<int32_t> rows_from(const std::vector<int32_t>& v,
+                                      int64_t row) {
+  return std::vector<int32_t>(v.begin() + row * 4, v.end());
+}
+
+}  // namespace lgp
+
+namespace lgp {
+
+inline void add_edge(GN* n, const std::string& nid, EDir d) {
+  for (auto& e : n->edges)
+    if (e.nodeid == nid && e.dir == d) return;
+  n->edges.push_back({nid, d, 0});
+}
+
+// --- connected components (graph.py mark_connected_components) ------------
+int mark_connected_components(Graph& g) {
+  for (auto& kv : g.nodes) kv.second->component = 0;
+  int comp = 0;
+  for (auto& kv : g.nodes) {
+    GN* n = kv.second;
+    if (n->component != 0) continue;
+    ++comp;
+    std::deque<GN*> q{n};
+    while (!q.empty()) {
+      GN* cur = q.front();
+      q.pop_front();
+      if (cur == nullptr) continue;
+      if (cur->component == 0) {
+        cur->component = comp;
+        for (auto& e : cur->edges) q.push_back(g.edge_node(e));
+      }
+    }
+  }
+  return comp;
+}
+
+// --- source/sink anchoring (graph.py mark_ref_ends) ------------------------
+void mark_ref_ends(Graph& g, int compid, const uint8_t* rawseq,
+                   int64_t rawlen, double cov_threshold, Result& res) {
+  const int K = g.K;
+  res.trim5 = -1;
+  res.trim3 = -1;
+  g.source = nullptr;
+  g.sink = nullptr;
+  const std::string raw((const char*)rawseq, (size_t)rawlen);
+
+  GN* source_node = nullptr;
+  std::string source_mer;
+  Dir source_ori = F;
+  int64_t source_offset = -1;
+  for (int64_t off = 0; off < rawlen; ++off) {
+    auto [cmer, ori] = g.canonical(raw.substr(off, K));
+    GN* cand = g.get(cmer);
+    if (cand && cand->tot_cov() >= cov_threshold &&
+        cand->component == compid) {
+      if (source_node == nullptr) {
+        source_node = cand;
+        source_mer = cmer;
+        source_ori = ori;
+        source_offset = off;
+      } else if (source_node == cand) {
+        return;  // ambiguous
+      }
+    }
+  }
+  if (!source_node) return;
+
+  GN* sink_node = nullptr;
+  std::string sink_mer;
+  Dir sink_ori = F;
+  int64_t sink_offset = -1;
+  for (int64_t off = rawlen - K; off >= 0; --off) {
+    auto [cmer, ori] = g.canonical(raw.substr(off, K));
+    GN* cand = g.get(cmer);
+    if (cand && cand->tot_cov() >= cov_threshold &&
+        cand->component == compid) {
+      if (sink_node == nullptr) {
+        sink_node = cand;
+        sink_mer = cmer;
+        sink_ori = ori;
+        sink_offset = off;
+      } else if (sink_node == cand) {
+        return;  // ambiguous
+      }
+    }
+  }
+  if (!sink_node) return;
+
+  const int64_t ref_dist = sink_offset - source_offset + K;
+  sink_offset = rawlen - sink_offset - K;
+  res.seq_set = 1;
+  res.seq_off = source_offset;
+  res.seq_len = ref_dist;
+  res.trim5 = (int32_t)source_offset;
+  res.trim3 = (int32_t)sink_offset;
+
+  // fake source node + CLIP_REF_ENDS
+  GN* newsource = g.alloc("source" + std::to_string(compid));
+  newsource->component = compid;
+  const EDir sourcedir = (source_ori == F) ? 0 : 1;  // FF : FR
+  for (int64_t i = (int64_t)source_node->edges.size() - 1; i >= 0; --i) {
+    GEdge e = source_node->edges[i];
+    if (ed_start(e.dir) == (source_ori == F ? R : F)) {
+      GN* other = g.edge_node(e);
+      if (other != nullptr && other != source_node) {
+        other->remove_edge(source_node->id, fliplink(e.dir));
+        source_node->edges.erase(source_node->edges.begin() + i);
+      }
+    }
+  }
+  add_edge(newsource, source_mer, sourcedir);
+  newsource->is_source = true;
+  add_edge(source_node, newsource->id, fliplink(sourcedir));
+  g.source = newsource;
+  g.nodes[newsource->id] = newsource;
+
+  GN* newsink = g.alloc("sink" + std::to_string(compid));
+  newsink->component = compid;
+  const EDir sinkdir = (sink_ori == F) ? 3 : 0;  // RR : FF
+  for (int64_t i = (int64_t)sink_node->edges.size() - 1; i >= 0; --i) {
+    GEdge e = sink_node->edges[i];
+    if (ed_start(e.dir) == sink_ori) {
+      GN* other = g.edge_node(e);
+      if (other != nullptr && other != sink_node) {
+        other->remove_edge(sink_node->id, fliplink(e.dir));
+        sink_node->edges.erase(sink_node->edges.begin() + i);
+      }
+    }
+  }
+  add_edge(newsink, sink_mer, sinkdir);
+  newsink->is_sink = true;
+  add_edge(sink_node, newsink->id, fliplink(sinkdir));
+  g.sink = newsink;
+  g.nodes[newsink->id] = newsink;
+}
+
+// --- cycle DFS (graph.py has_cycle / _cycle_dfs) ----------------------------
+constexpr int WHITE = 1, GREY = 2, BLACK = 3;
+
+bool cycle_dfs(Graph& g, GN* start, Dir d) {
+  struct Frame { GN* node; Dir nd; size_t ei; };
+  std::vector<Frame> stack{{start, d, 0}};
+  start->color = GREY;
+  while (!stack.empty()) {
+    Frame& f = stack.back();
+    if (f.ei >= f.node->edges.size()) {
+      f.node->color = BLACK;
+      stack.pop_back();
+      continue;
+    }
+    GEdge& edge = f.node->edges[f.ei];
+    f.ei += 1;
+    if (ed_start(edge.dir) != f.nd) continue;
+    GN* other = g.edge_node(edge);
+    if (other == nullptr || other->is_special()) continue;
+    if (other->color == GREY) {
+      for (auto& fr : stack) fr.node->color = BLACK;
+      return true;
+    }
+    if (other->color == WHITE) {
+      other->color = GREY;
+      stack.push_back({other, ed_dest(edge.dir), 0});
+    }
+  }
+  return false;
+}
+
+bool has_cycle(Graph& g) {
+  if (g.source == nullptr || g.sink == nullptr) return false;
+  for (auto& kv : g.nodes) {
+    if (kv.second->is_special()) continue;
+    kv.second->color = WHITE;
+  }
+  return cycle_dfs(g, g.source, F) || cycle_dfs(g, g.source, R);
+}
+
+// --- compression (graph.py compress_node / compress) ------------------------
+void clean_dead(Graph& g) {
+  std::vector<std::string> dead;
+  for (auto& kv : g.nodes)
+    if (kv.second->dead) dead.push_back(kv.first);
+  std::sort(dead.begin(), dead.end());
+  for (auto& k : dead) g.nodes.erase(k);
+}
+
+void compress_node(Graph& g, GN* node, Dir d) {
+  const int K = g.K;
+  std::deque<std::string> str_segs{node->str};
+  std::deque<std::vector<int32_t>> cov_segs_t{node->covT};
+  std::deque<std::vector<int32_t>> cov_segs_n{node->covN};
+  std::vector<std::string> status_tail;
+  int64_t cur_len = (int64_t)node->str.size();
+  bool merged = false;
+
+  while (true) {
+    const int uniqueid = node->get_buddy(d);
+    if (uniqueid == -1) break;
+    if (node->is_tandem()) break;
+    const EDir edir = node->edges[uniqueid].dir;
+    const Dir bdir = (edir == 0 || edir == 2) ? R : F;  // FF/RF -> R
+    GN* buddy = g.edge_node(node->edges[uniqueid]);
+    if (buddy == nullptr || buddy->dead)
+      throw std::runtime_error("compress: dead buddy");
+    if (buddy->is_tandem()) break;
+    const int buniqueid = buddy->get_buddy(bdir);
+    if (buniqueid == -1) break;
+    if (buddy->edges[buniqueid].nodeid != node->id)
+      throw std::runtime_error("compress: buddy back-edge mismatch");
+
+    merged = true;
+    const bool dest_r = ed_dest(edir) == R;
+    const std::string bstr = dest_r ? g.rc(buddy->str) : buddy->str;
+    const std::vector<int32_t> bcov_t =
+        dest_r ? rev_rows(buddy->covT) : buddy->covT;
+    const std::vector<int32_t> bcov_n =
+        dest_r ? rev_rows(buddy->covN) : buddy->covN;
+
+    const int64_t amerlen = cur_len - K + 1;
+    const int64_t bmerlen = (int64_t)bstr.size() - K + 1;
+
+    if (d == R) {
+      // reversed segment prepends (graph.py dir==R dance)
+      str_segs.push_front(g.rc(bstr.substr(K - 1)));
+      cov_segs_t.push_front(rev_rows(rows_from(bcov_t, K - 1)));
+      cov_segs_n.push_front(rev_rows(rows_from(bcov_n, K - 1)));
+    } else {
+      str_segs.push_back(bstr.substr(K - 1));
+      cov_segs_t.push_back(rows_from(bcov_t, K - 1));
+      cov_segs_n.push_back(rows_from(bcov_n, K - 1));
+    }
+    status_tail.push_back(buddy->status.substr(K - 1));
+
+    const int64_t tot = amerlen + bmerlen;
+    node->ctf = (node->ctf * amerlen + buddy->ctf * bmerlen) / tot;
+    node->cnf = (node->cnf * amerlen + buddy->cnf * bmerlen) / tot;
+    node->ctr = (node->ctr * amerlen + buddy->ctr * bmerlen) / tot;
+    node->cnr = (node->cnr * amerlen + buddy->cnr * bmerlen) / tot;
+
+    cur_len = cur_len + (int64_t)bstr.size() - K + 1;
+
+    buddy->dead = true;
+    if (buddy->is_ref) node->is_ref = true;
+    if (buddy->is_normal) node->is_normal = true;
+    if (buddy->is_tumor) node->is_tumor = true;
+
+    node->edges.erase(node->edges.begin() + uniqueid);
+    for (size_t i = 0; i < buddy->edges.size(); ++i) {
+      if ((int)i == buniqueid) continue;
+      const GEdge& be = buddy->edges[i];
+      GEdge ne = be;  // copies flag
+      if (edir == 1 || edir == 2) ne.dir = flipme(ne.dir);  // FR/RF
+      GN* other = g.get(ne.nodeid);
+      if (other == nullptr) throw std::runtime_error("compress: null other");
+      if (other == buddy) {
+        ne.nodeid = node->id;
+        node->edges.push_back(ne);
+      } else {
+        node->edges.push_back(ne);
+        other->update_edge(buddy->id, fliplink(be.dir), node->id,
+                           fliplink(ne.dir));
+      }
+    }
+  }
+
+  if (merged) {
+    node->str.clear();
+    for (auto& s : str_segs) node->str += s;
+    std::vector<int32_t> ct, cn;
+    for (auto& v : cov_segs_t) ct.insert(ct.end(), v.begin(), v.end());
+    for (auto& v : cov_segs_n) cn.insert(cn.end(), v.begin(), v.end());
+    node->covT = std::move(ct);
+    node->covN = std::move(cn);
+    for (auto& s : status_tail) node->status += s;
+    node->compute_min_cov();
+  }
+}
+
+void compress(Graph& g, int compid) {
+  for (auto& kv : g.nodes) {
+    GN* n = kv.second;
+    if (n->component == compid) {
+      if (n->dead || n->is_special()) continue;
+      compress_node(g, n, F);
+      compress_node(g, n, R);
+    }
+  }
+  clean_dead(g);
+}
+
+// --- removals (graph.py remove_node / remove_low_cov / tips / links) -------
+void remove_node(Graph& g, GN* node) {
+  if (node->dead) throw std::runtime_error("remove_node: already dead");
+  node->dead = true;
+  for (auto& e : node->edges) {
+    GN* nn = g.edge_node(e);
+    if (nn != nullptr && nn != node) nn->remove_edge(node->id, fliplink(e.dir));
+  }
+}
+
+void remove_low_cov(Graph& g, bool docompression, int compid, double avgcov,
+                    int low_cov_threshold, double min_cov_ratio) {
+  for (auto& kv : g.nodes) {
+    GN* node = kv.second;
+    if (node->component != compid || node->dead) continue;
+    if (node->is_special()) continue;
+    if (node->mincov_qv <= low_cov_threshold ||
+        (double)node->mincov_qv <= min_cov_ratio * avgcov ||
+        (node->tot_tmr() == 1 && node->tot_nml() == 1)) {
+      remove_node(g, node);
+    }
+  }
+  clean_dead(g);
+  if (docompression) compress(g, compid);
+}
+
+void remove_tips(Graph& g, int compid, int max_tip_len) {
+  while (true) {
+    int tips = 0;
+    for (auto& kv : g.nodes) {
+      GN* cur = kv.second;
+      if (cur->component != compid || cur->dead) continue;
+      if (cur->is_special()) continue;
+      const int64_t deg = (int64_t)cur->edges.size();
+      const int64_t ln = cur->strlen_() - g.K + 1;
+      if (deg <= 1 && ln < max_tip_len) {
+        remove_node(g, cur);
+        ++tips;
+      }
+    }
+    if (tips)
+      compress(g, compid);
+    else
+      break;
+  }
+}
+
+// find_tandems (engine/seqs.py; remove_short_links needs only the length)
+int64_t find_tandems_len(const std::string& seq, int max_unit_len,
+                         int min_report_units, int min_report_len,
+                         int dist_from_str, int64_t pos) {
+  const int64_t L = (int64_t)seq.size();
+  int64_t out_len = 0;
+  std::vector<std::vector<int64_t>> offsets(max_unit_len + 1);
+  for (int m = 0; m <= max_unit_len; ++m) {
+    offsets[m].assign(max_unit_len + 2, 0);
+    for (int p = 0; p < m; ++p) offsets[m][p] = p;
+  }
+  for (int64_t i = 0; i < L; ++i) {
+    for (int merlen = 1; merlen <= max_unit_len; ++merlen) {
+      const int64_t phase = i % merlen;
+      const int64_t offset = offsets[merlen][phase];
+      int64_t j = 0;
+      while (j < merlen && i + j < L && seq[i + j] == seq[offset + j]) ++j;
+      if (j != merlen || (i + j + 1 == L)) {
+        const char left = offset > 0 ? seq[offset - 1] : '\0';
+        if (left != seq[offset + merlen - 1]) {
+          if ((i - offset) / merlen >= min_report_units &&
+              i - offset >= min_report_len) {
+            int64_t ml = 1;
+            while (ml < merlen) {
+              const int64_t units = (i - offset + j) / ml;
+              bool allmatch = true;
+              for (int64_t index = 1; index < units; ++index)
+                if (seq.compare(offset, ml, seq, offset + index * ml, ml) !=
+                    0) {
+                  allmatch = false;
+                  break;
+                }
+              if (!allmatch)
+                ++ml;
+              else
+                break;
+            }
+            if (ml == merlen) {
+              const int64_t start = offset, end = i + j;
+              if (pos >= start - dist_from_str && pos <= end + dist_from_str)
+                out_len = end - start;
+            }
+          }
+        }
+        offsets[merlen][phase] = i;
+      }
+    }
+  }
+  return out_len;
+}
+
+void remove_short_links(Graph& g, int compid, int max_link_len, double avgcov,
+                        int max_unit_len, int min_report_units,
+                        int min_report_len, int dist_from_str) {
+  int links = 0;
+  const double thr = std::floor(std::sqrt(avgcov));
+  for (auto& kv : g.nodes) {
+    GN* cur = kv.second;
+    if (cur->component != compid || cur->dead) continue;
+    if (cur->is_special()) continue;
+    const int64_t deg = (int64_t)cur->edges.size();
+    const int64_t ln = (int64_t)cur->str.size() - g.K + 1;
+    if (deg >= 2 && ln < max_link_len && (double)cur->mincov <= thr) {
+      const int64_t L = find_tandems_len(cur->str, max_unit_len,
+                                         min_report_units, min_report_len,
+                                         dist_from_str, g.K - 1);
+      if (L == 0) {
+        remove_node(g, cur);
+        ++links;
+      }
+    }
+  }
+  if (links) compress(g, compid);
+}
+
+}  // namespace lgp
+
+namespace lgp {
+
+// --- path enumeration (graph.py bfs / eka) ----------------------------------
+std::unique_ptr<PPath> bfs(Graph& g, GN* source, GN* sink, Dir d,
+                           int64_t reflen, int64_t dfs_limit,
+                           int max_indel_len) {
+  int64_t visit = 0;
+  int complete = 0;
+  std::deque<PPath> q;
+  PPath p0;
+  p0.nodes.push_back(source);
+  p0.dir = d;
+  p0.len_m = g.K;
+  std::unique_ptr<PPath> best;
+  q.push_back(std::move(p0));
+  while (!q.empty()) {
+    ++visit;
+    if (dfs_limit && visit > dfs_limit) break;
+    PPath path = std::move(q.front());
+    q.pop_front();
+    GN* cur = path.nodes.back();
+    if (cur == sink && path.flag == 0) {
+      ++complete;
+      if (!best || path.score > best->score) best.reset(new PPath(path));
+    } else if (path.len_m > reflen + max_indel_len) {
+      // too long
+    } else {
+      for (auto& edge : cur->edges) {
+        if (ed_start(edge.dir) != path.dir) continue;
+        GN* other = g.edge_node(edge);
+        if (other == nullptr) throw std::runtime_error("bfs: null edge node");
+        if (!path.has_cycle_m) {
+          for (GN* n : path.nodes)
+            if (n == other) {
+              path.has_cycle_m = 1;
+              break;
+            }
+        }
+        PPath np(path);
+        np.nodes.push_back(other);
+        np.edges.push_back(&edge);
+        np.edgedir.push_back(edge.dir);
+        np.dir = ed_dest(edge.dir);
+        np.len_m = path.len_m + other->strlen_() - g.K + 1;
+        np.flag = path.flag * edge.flag;
+        if (edge.flag == 0) np.score = path.score + 1;
+        q.push_back(std::move(np));
+      }
+    }
+  }
+  if (complete == 0) best.reset();
+  return best;
+}
+
+// --- path -> sequence / coverage / span (path.py, extract.py) ---------------
+std::string path_str(Graph& g, const PPath& p) {
+  std::string ret;
+  int64_t retlen = 0;
+  Dir d = ed_start(p.edgedir[0]);
+  for (size_t i = 0; i < p.nodes.size(); ++i) {
+    GN* n = p.nodes[i];
+    std::string nstr = n->str;
+    if (d == R) nstr = g.rc(nstr);
+    if (!n->is_special()) {
+      if (retlen > 0) {
+        ret += nstr.substr(g.K - 1);
+        retlen += (int64_t)nstr.size() - g.K + 1;
+      } else {
+        ret += nstr;
+        retlen = (int64_t)nstr.size();
+      }
+    }
+    if (i < p.edgedir.size()) d = ed_dest(p.edgedir[i]);
+  }
+  return ret;
+}
+
+std::vector<int32_t> path_cov(Graph& g, const PPath& p, bool tumor) {
+  std::vector<int32_t> out;
+  int64_t total = 0;
+  Dir d = ed_start(p.edgedir[0]);
+  for (size_t i = 0; i < p.nodes.size(); ++i) {
+    GN* n = p.nodes[i];
+    const std::vector<int32_t>& C = tumor ? n->covT : n->covN;
+    std::vector<int32_t> nc = (d == R) ? rev_rows(C) : C;
+    if (!n->is_special()) {
+      if (total == 0) {
+        out.insert(out.end(), nc.begin(), nc.end());
+        total = (int64_t)nc.size() / 4;
+      } else {
+        out.insert(out.end(), nc.begin() + (g.K - 1) * 4, nc.end());
+        total += (int64_t)nc.size() / 4 - (g.K - 1);
+      }
+    }
+    if (i < p.edgedir.size()) d = ed_dest(p.edgedir[i]);
+  }
+  return out;
+}
+
+std::vector<uint8_t> tumor_span(Graph& g, const PPath& p, int64_t L) {
+  // extract.py make_path_job: node i covers (hi_{i-1}, hi_i]
+  std::vector<uint8_t> span(L + 1, 0);
+  int64_t cur = 0, prev_hi = -1;
+  for (GN* n : p.nodes) {
+    if (n->is_special()) continue;
+    const int64_t sp = (int64_t)n->str.size();
+    const int64_t hi = cur + sp;
+    const int64_t lo = std::max<int64_t>(prev_hi + 1, 0);
+    const int64_t hi_c = std::min<int64_t>(hi, L);
+    if (lo <= hi_c) {
+      if (n->is_status_cnt_T(g.K))
+        for (int64_t x = lo; x <= hi_c; ++x) span[x] = 1;
+    }
+    prev_hi = hi;
+    cur += sp - g.K + 1;
+    if (prev_hi >= L) break;
+  }
+  return span;
+}
+
+void eka(Graph& g, GN* source, GN* sink, Dir d, const uint8_t* rawseq,
+         int64_t reflen, int64_t dfs_limit, int max_indel_len,
+         int64_t src_off, int64_t ref_dist, int32_t trim5, Result& res) {
+  while (true) {
+    auto path = bfs(g, source, sink, d, reflen, dfs_limit, max_indel_len);
+    if (!path) break;
+    Job j;
+    j.pathseq = path_str(g, *path);
+    j.covT = path_cov(g, *path, true);
+    j.covN = path_cov(g, *path, false);
+    j.span = tumor_span(g, *path, (int64_t)j.covN.size() / 4);
+    j.src_off = src_off;
+    j.ref_dist = ref_dist;
+    j.trim5 = trim5;
+    // hamming vs the (just-trimmed) ref seq; -1 on length mismatch
+    int64_t hd = -1;
+    if ((int64_t)j.pathseq.size() == ref_dist) {
+      hd = 0;
+      for (int64_t i = 0; i < ref_dist; ++i)
+        hd += (uint8_t)j.pathseq[i] != rawseq[src_off + i];
+    }
+    j.needs_dp = (hd == -1 || hd > 5);
+    res.jobs.push_back(std::move(j));
+    for (GEdge* e : path->edges) e->flag = 1;
+  }
+}
+
+bool find_repeats_in_graph_paths(Graph& g, int K, int max_mismatch,
+                                 int64_t reflen, int64_t dfs_limit,
+                                 int max_indel_len) {
+  if (g.source == nullptr || g.sink == nullptr) return false;
+  bool answer = false;
+  std::vector<GEdge*> touched;
+  while (true) {
+    auto path = bfs(g, g.source, g.sink, F, reflen, dfs_limit, max_indel_len);
+    if (!path) break;
+    const std::string ps = path_str(g, *path);
+    if (lsq_is_almost_repeat((const uint8_t*)ps.data(), (int64_t)ps.size(), K,
+                             max_mismatch)) {
+      answer = true;
+      break;
+    }
+    for (GEdge* e : path->edges) {
+      e->flag = 1;
+      touched.push_back(e);
+    }
+  }
+  for (GEdge* e : touched) e->flag = 0;
+  return answer;
+}
+
+}  // namespace lgp
+
+extern "C" {
+
+// Full per-k pipeline: colored-DBG build (via lgb_build) then components,
+// anchoring, cycle gate, compression, cleanup, graph-path repeat gate, and
+// the best-new-edge path cover. Returns a Result handle.
+void* lgp_run(const uint8_t* cat, const uint8_t* qcat, int64_t tot,
+              int64_t n_reads, const int64_t* starts, const int32_t* lens,
+              const int32_t* sample, const int32_t* strand,
+              const int32_t* order, const int64_t* name_off,
+              const uint8_t* name_blob, int K, int minq, double avgcov,
+              int low_cov_threshold, double min_cov_ratio,
+              const uint8_t* idxseq, int64_t idxlen, const uint8_t* rawseq,
+              int64_t rawlen, double cov_threshold, int max_tip_len,
+              int max_link_len, int64_t dfs_limit, int max_indel_len,
+              int max_mismatch, int max_unit_len, int min_report_units,
+              int min_report_len, int dist_from_str) {
+  auto* res = new lgp::Result();
+  lgb::Out* out = nullptr;
+  try {
+    out = (lgb::Out*)lgb_build(cat, qcat, tot, n_reads, starts, lens, sample,
+                               strand, order, name_off, name_blob, K, minq,
+                               avgcov, low_cov_threshold, min_cov_ratio,
+                               idxseq, idxlen);
+    const int64_t n_nodes = out->n_nodes;
+
+    // reference coverage projection (ref.py compute_coverage, pre-prune
+    // node counts; nonzero only where the mer is in the seq-based index)
+    res->refcov.assign(4 * rawlen, 0);
+    {
+      std::unordered_map<std::string_view, int64_t, lgb::SvHash> node_of;
+      node_of.reserve((size_t)n_nodes * 2);
+      for (int64_t n = 0; n < n_nodes; ++n)
+        node_of.emplace(
+            std::string_view((const char*)out->mers + n * K, K), n);
+      uint8_t comp[256];
+      lgb::comp_table(comp);
+      std::vector<uint8_t> rc_raw(rawlen);
+      for (int64_t i = 0; i < rawlen; ++i)
+        rc_raw[i] = comp[rawseq[rawlen - 1 - i]];
+      const int64_t n_off = rawlen - K;  // final mer excluded
+      for (int64_t i = 0; i < n_off; ++i) {
+        const uint8_t* fw = rawseq + i;
+        const uint8_t* rc = rc_raw.data() + (rawlen - i - K);
+        const uint8_t* cn = std::memcmp(fw, rc, K) < 0 ? fw : rc;
+        int32_t vals[4] = {0, 0, 0, 0};
+        auto it = node_of.find(std::string_view((const char*)cn, K));
+        if (it != node_of.end()) {
+          const int64_t n = it->second;
+          const uint8_t fl = out->flags[n];
+          if (fl & lgb::F_INREF) {
+            if (fl & lgb::F_SEENF_T) vals[0] = out->cov[n * 4 + 0];
+            if (fl & lgb::F_SEENR_T) vals[1] = out->cov[n * 4 + 1];
+            if (fl & lgb::F_SEENF_N) vals[2] = out->cov[n * 4 + 2];
+            if (fl & lgb::F_SEENR_N) vals[3] = out->cov[n * 4 + 3];
+          }
+        }
+        if (i == 0) {
+          for (int64_t p = 0; p < K && p < rawlen; ++p)
+            for (int c = 0; c < 4; ++c) res->refcov[c * rawlen + p] = vals[c];
+        } else {
+          for (int c = 0; c < 4; ++c)
+            res->refcov[c * rawlen + (i + K - 1)] = vals[c];
+        }
+      }
+    }
+
+    // materialize the node map in creation order, then erase low nodes
+    // (reference insert-all-then-removeLowCov sequence; bucket layout of
+    // the real libstdc++ unordered_map IS the reference's iteration order)
+    lgp::Graph g;
+    g.K = K;
+    lgb::comp_table(g.comp);
+    std::vector<lgp::GN*> by_id(n_nodes, nullptr);
+    for (int64_t n = 0; n < n_nodes; ++n) {
+      const std::string mer((const char*)out->mers + n * K, K);
+      const uint8_t fl = out->flags[n];
+      if (fl & lgb::F_LOW) {
+        g.nodes[mer] = nullptr;
+        continue;
+      }
+      lgp::GN* node = g.alloc(mer);
+      node->ctf = out->cov[n * 4 + 0];
+      node->ctr = out->cov[n * 4 + 1];
+      node->cnf = out->cov[n * 4 + 2];
+      node->cnr = out->cov[n * 4 + 3];
+      node->is_tumor = fl & lgb::F_TUMOR;
+      node->is_normal = fl & lgb::F_NORMAL;
+      node->touch_ref = fl & lgb::F_INREF;
+      node->mincov = out->tot_cov[n];
+      node->mincov_qv = out->mincov_qv[n];
+      const char st = (node->is_tumor && node->is_normal) ? 'B'
+                      : node->is_tumor                    ? 'T'
+                      : node->is_normal                   ? 'N'
+                                                          : 'E';
+      node->status.assign(K, st);
+      for (int64_t j = 0; j < K; ++j) {
+        node->covT[j * 4 + 0] = out->cov[n * 4 + 0];
+        node->covT[j * 4 + 1] = out->cov[n * 4 + 1];
+        node->covT[j * 4 + 2] = out->mq[(0 * n_nodes + n) * K + j];
+        node->covT[j * 4 + 3] = out->mq[(1 * n_nodes + n) * K + j];
+        node->covN[j * 4 + 0] = out->cov[n * 4 + 2];
+        node->covN[j * 4 + 1] = out->cov[n * 4 + 3];
+        node->covN[j * 4 + 2] = out->mq[(2 * n_nodes + n) * K + j];
+        node->covN[j * 4 + 3] = out->mq[(3 * n_nodes + n) * K + j];
+      }
+      g.nodes[mer] = node;
+      by_id[n] = node;
+    }
+    for (int64_t n = 0; n < n_nodes; ++n)
+      if (out->flags[n] & lgb::F_LOW)
+        g.nodes.erase(std::string((const char*)out->mers + n * K, K));
+    const char* dirs = nullptr;
+    (void)dirs;
+    for (int64_t e = 0; e < out->n_edges; ++e) {
+      lgp::GN* src = by_id[out->esrc[e]];
+      if (src == nullptr) throw std::runtime_error("edge from low node");
+      src->edges.push_back(
+          {std::string((const char*)out->mers + (int64_t)out->edst[e] * K, K),
+           (lgp::EDir)out->edir[e], 0});
+    }
+    lgb_result_free(out);
+    out = nullptr;
+
+    // --- per-component stages (micro.py process_graph inner loop) ---------
+    const int numcomp = lgp::mark_connected_components(g);
+    for (int c = 1; c <= numcomp; ++c) {
+      lgp::mark_ref_ends(g, c, rawseq, rawlen, cov_threshold, *res);
+      if (lgp::has_cycle(g)) {
+        res->status = 1;
+        return res;
+      }
+      lgp::compress(g, c);
+      lgp::remove_low_cov(g, true, c, avgcov, low_cov_threshold,
+                          min_cov_ratio);
+      lgp::remove_tips(g, c, max_tip_len);
+      lgp::remove_short_links(g, c, max_link_len, avgcov, max_unit_len,
+                              min_report_units, min_report_len,
+                              dist_from_str);
+      const int64_t reflen = res->seq_set ? res->seq_len : idxlen;
+      if (lgp::has_cycle(g)) {
+        res->status = 1;
+        return res;
+      }
+      if (lgp::find_repeats_in_graph_paths(g, K, max_mismatch, reflen,
+                                           dfs_limit, max_indel_len)) {
+        res->status = 2;
+        return res;
+      }
+      if (g.source != nullptr && g.sink != nullptr)
+        lgp::eka(g, g.source, g.sink, lgp::F, rawseq, reflen, dfs_limit,
+                 max_indel_len, res->seq_off, res->seq_len, res->trim5, *res);
+    }
+    res->status = 0;
+    return res;
+  } catch (const std::exception&) {
+    if (out) lgb_result_free(out);
+    res->status = 3;
+    res->jobs.clear();
+    return res;
+  }
+}
+
+int lgp_status(void* h) { return ((lgp::Result*)h)->status; }
+int lgp_trim5(void* h) { return ((lgp::Result*)h)->trim5; }
+int lgp_trim3(void* h) { return ((lgp::Result*)h)->trim3; }
+int lgp_seq_set(void* h) { return ((lgp::Result*)h)->seq_set; }
+long lgp_seq_off(void* h) { return (long)((lgp::Result*)h)->seq_off; }
+long lgp_seq_len(void* h) { return (long)((lgp::Result*)h)->seq_len; }
+const int32_t* lgp_refcov(void* h) { return ((lgp::Result*)h)->refcov.data(); }
+long lgp_n_jobs(void* h) { return (long)((lgp::Result*)h)->jobs.size(); }
+long lgp_job_len(void* h, long i) {
+  return (long)((lgp::Result*)h)->jobs[i].pathseq.size();
+}
+const char* lgp_job_seq(void* h, long i) {
+  return ((lgp::Result*)h)->jobs[i].pathseq.c_str();
+}
+const int32_t* lgp_job_covT(void* h, long i) {
+  return ((lgp::Result*)h)->jobs[i].covT.data();
+}
+const int32_t* lgp_job_covN(void* h, long i) {
+  return ((lgp::Result*)h)->jobs[i].covN.data();
+}
+const uint8_t* lgp_job_span(void* h, long i) {
+  return ((lgp::Result*)h)->jobs[i].span.data();
+}
+long lgp_job_src_off(void* h, long i) {
+  return (long)((lgp::Result*)h)->jobs[i].src_off;
+}
+long lgp_job_dist(void* h, long i) {
+  return (long)((lgp::Result*)h)->jobs[i].ref_dist;
+}
+int lgp_job_trim5(void* h, long i) {
+  return ((lgp::Result*)h)->jobs[i].trim5;
+}
+int lgp_job_needs_dp(void* h, long i) {
+  return ((lgp::Result*)h)->jobs[i].needs_dp;
+}
+void lgp_free(void* h) { delete (lgp::Result*)h; }
+
+}  // extern "C"
