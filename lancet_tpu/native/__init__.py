@@ -30,7 +30,7 @@ class NativeUnavailable(RuntimeError):
 
 def _build() -> None:
     cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", _SO + ".tmp",
-           _SRC, "-lz"]
+           _SRC, "-lz", "-lpthread"]
     r = subprocess.run(cmd, capture_output=True, text=True)
     if r.returncode != 0:
         raise NativeUnavailable(f"native build failed: {r.stderr[-2000:]}")

@@ -1928,3 +1928,1259 @@ int lgp_job_needs_dp(void* h, long i) {
 void lgp_free(void* h) { delete (lgp::Result*)h; }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Batched shard runner (host compute plane).
+//
+// One native call processes a whole run's windows: indexed BAM fetch with a
+// shared per-chunk read cache (consecutive windows overlap 5:1, so decode
+// happens once, not per window), active-region triage (CIGAR walk + MD-tag
+// parse + softclip map; ref Microassembler.cc:255-432), the read-extraction
+// filter chain (ref Microassembler.cc:436-655), quality trim, and the
+// self-tuning-k per-window loop driving the lgp_* graph pipeline — all in
+// C++ threads across windows. Reads never cross into Python. Output is the
+// flat PathJob batch; Python runs the device-batched Gotoh alignment and
+// hands the aligned strings back to lsr_finish, which replays the
+// transcript column-scan state machine (ref Graph.cc:788-1220,
+// Transcript.hh:107-226) natively and emits packed variant records.
+//
+// Any per-window inconsistency marks that window for Python-engine replay
+// (its native jobs/counters are discarded), mirroring lgp_run's status-3
+// contract.
+// ---------------------------------------------------------------------------
+
+#include <array>
+#include <atomic>
+#include <chrono>
+#include <mutex>
+#include <thread>
+
+namespace lsr {
+
+struct Rec {
+  int32_t pos = 0, end = 0;
+  uint16_t flag = 0;
+  uint8_t mapq = 0;
+  std::string name, seq, qual;        // qual empty when absent (0xff)
+  std::vector<uint32_t> cigar;        // (len<<4)|op
+  std::vector<uint8_t> tags;          // raw BAM aux blob
+
+  bool is_mapped() const { return !(flag & 0x4); }
+  bool is_reverse() const { return flag & 0x10; }
+  bool is_first_mate() const { return (flag & 0x1) && (flag & 0x40); }
+  bool is_second_mate() const { return (flag & 0x1) && (flag & 0x80); }
+  bool is_duplicate() const { return flag & 0x400; }
+  bool is_primary() const { return !(flag & 0x100); }
+};
+
+// Decode one raw BAM record body into Rec (mirrors io.bam._parse_record).
+void parse_rec(const std::vector<uint8_t>& rec, Rec& out) {
+  int32_t refid, pos, l_seq;
+  uint32_t flag_nc, bin_mq_nl;
+  std::memcpy(&refid, rec.data() + 0, 4);
+  std::memcpy(&pos, rec.data() + 4, 4);
+  std::memcpy(&bin_mq_nl, rec.data() + 8, 4);
+  std::memcpy(&flag_nc, rec.data() + 12, 4);
+  std::memcpy(&l_seq, rec.data() + 16, 4);
+  const uint8_t l_read_name = bin_mq_nl & 0xff;
+  out.mapq = (bin_mq_nl >> 8) & 0xff;
+  const uint16_t n_cigar = flag_nc & 0xffff;
+  out.flag = flag_nc >> 16;
+  out.pos = pos;
+  size_t q = 32;
+  out.name.assign((const char*)rec.data() + q,
+                  l_read_name ? l_read_name - 1 : 0);
+  q += l_read_name;
+  out.cigar.resize(n_cigar);
+  int64_t span = 0;
+  for (int c = 0; c < n_cigar; ++c) {
+    uint32_t v;
+    std::memcpy(&v, rec.data() + q + 4ull * c, 4);
+    out.cigar[c] = v;
+    const uint32_t op = v & 0xf;
+    if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8) span += v >> 4;
+  }
+  out.end = (int32_t)(pos + span);
+  q += 4ull * n_cigar;
+  const uint8_t* seq4 = rec.data() + q;
+  out.seq.resize(l_seq);
+  for (int i = 0; i < l_seq; ++i)
+    out.seq[i] = kSeqNt[(i & 1) ? (seq4[i >> 1] & 0xf) : (seq4[i >> 1] >> 4)];
+  q += (l_seq + 1) / 2;
+  const uint8_t* qual = rec.data() + q;
+  if (l_seq > 0 && qual[0] != 0xff) {
+    out.qual.resize(l_seq);
+    for (int i = 0; i < l_seq; ++i) out.qual[i] = (char)(qual[i] + 33);
+  } else {
+    out.qual.clear();
+  }
+  q += l_seq;
+  out.tags.assign(rec.begin() + q, rec.end());
+}
+
+// Fetch+parse records on refid with pos <= end && end_position >= beg
+// (same superset contract as lbam_fetch).
+void fetch_recs(BamFile& b, int refid, int64_t beg, int64_t end,
+                std::vector<Rec>& out) {
+  std::vector<Chunk> chunks;
+  if (b.has_index && refid >= 0 && refid < (int)b.index.size()) {
+    const RefIndex& ri = b.index[refid];
+    uint64_t min_off = 0;
+    size_t intv = (size_t)(beg >> 14);
+    if (intv < ri.ioffsets.size()) min_off = ri.ioffsets[intv];
+    std::vector<uint32_t> bins;
+    reg2bins(beg, end + 1, bins);
+    for (uint32_t bin : bins) {
+      auto it = ri.bins.find(bin);
+      if (it == ri.bins.end()) continue;
+      for (const Chunk& c : it->second)
+        if (c.end > min_off) chunks.push_back(c);
+    }
+    std::sort(chunks.begin(), chunks.end(),
+              [](const Chunk& a, const Chunk& c) { return a.beg < c.beg; });
+    std::vector<Chunk> merged;
+    for (const Chunk& c : chunks) {
+      if (!merged.empty() && c.beg <= merged.back().end)
+        merged.back().end = std::max(merged.back().end, c.end);
+      else
+        merged.push_back(c);
+    }
+    chunks = std::move(merged);
+  } else if (refid >= 0) {
+    chunks.push_back({b.first_rec_voffset, (uint64_t)b.bgzf.file_size << 16});
+  }
+  std::vector<uint8_t> rec;
+  for (const Chunk& c : chunks) {
+    if (!b.bgzf.seek_virtual(c.beg)) continue;
+    while (b.bgzf.tell_virtual() < c.end && !b.bgzf.at_eof()) {
+      if (!read_record(b.bgzf, rec)) break;
+      RecMeta m = pack_record(rec, nullptr);
+      if (m.refid != refid) {
+        if (b.has_index) continue;
+        if (m.refid > refid) break;
+        continue;
+      }
+      if (m.pos > end) break;
+      if (m.end >= beg) {
+        out.emplace_back();
+        parse_rec(rec, out.back());
+      }
+    }
+  }
+}
+
+// --- BAM aux tag access (mirrors io.bam._parse_tags walk + the
+// get_numeric_tag/get_string_tag -1.0/"" conventions, util.cc:486-560) -----
+const uint8_t* find_tag(const std::vector<uint8_t>& tags, const char* tag,
+                        char* type_out) {
+  size_t p = 0;
+  const size_t n = tags.size();
+  while (p + 2 < n) {
+    const bool hit = tags[p] == (uint8_t)tag[0] && tags[p + 1] == (uint8_t)tag[1];
+    const char t = (char)tags[p + 2];
+    p += 3;
+    size_t sz;
+    switch (t) {
+      case 'A': case 'c': case 'C': sz = 1; break;
+      case 's': case 'S': sz = 2; break;
+      case 'i': case 'I': case 'f': sz = 4; break;
+      case 'Z': case 'H': {
+        size_t e = p;
+        while (e < n && tags[e] != 0) ++e;
+        if (hit) { *type_out = t; return tags.data() + p; }
+        p = e + 1;
+        continue;
+      }
+      case 'B': {
+        if (p + 5 > n) return nullptr;
+        const char sub = (char)tags[p];
+        uint32_t cnt;
+        std::memcpy(&cnt, tags.data() + p + 1, 4);
+        size_t esz = (sub == 'c' || sub == 'C') ? 1
+                     : (sub == 's' || sub == 'S') ? 2 : 4;
+        if (hit) { *type_out = t; return tags.data() + p; }
+        p += 5 + (size_t)cnt * esz;
+        continue;
+      }
+      default: return nullptr;  // unknown type: stop (python `break`)
+    }
+    if (hit) { *type_out = t; return tags.data() + p; }
+    p += sz;
+  }
+  return nullptr;
+}
+
+double numeric_tag(const Rec& r, const char* tag) {
+  char t = 0;
+  const uint8_t* v = find_tag(r.tags, tag, &t);
+  if (!v) return -1.0;
+  switch (t) {
+    case 'c': return (double)*(const int8_t*)v;
+    case 'C': return (double)*v;
+    case 's': { int16_t x; std::memcpy(&x, v, 2); return (double)x; }
+    case 'S': { uint16_t x; std::memcpy(&x, v, 2); return (double)x; }
+    case 'i': { int32_t x; std::memcpy(&x, v, 4); return (double)x; }
+    case 'I': { uint32_t x; std::memcpy(&x, v, 4); return (double)x; }
+    case 'f': { float x; std::memcpy(&x, v, 4); return (double)x; }
+    default: return -1.0;
+  }
+}
+
+std::string string_tag(const Rec& r, const char* tag) {
+  char t = 0;
+  const uint8_t* v = find_tag(r.tags, tag, &t);
+  if (!v) return "";
+  if (t == 'A') return std::string(1, (char)*v);
+  if (t == 'Z' || t == 'H') {
+    const uint8_t* e = v;
+    const uint8_t* lim = r.tags.data() + r.tags.size();
+    while (e < lim && *e != 0) ++e;
+    return std::string((const char*)v, (size_t)(e - v));
+  }
+  return "";
+}
+
+// --- MD-tag parse (engine/seqs.py parse_md; ref util.cc:432-483) ----------
+void parse_md(const std::string& md, std::map<int64_t, int32_t>& counts,
+              int64_t start, const std::string& qual, int min_qv) {
+  static const auto valid = [] {
+    std::array<bool, 256> t{};
+    for (unsigned char c : std::string("acgtumrwsykvhdbxnACGTUMRWSYKVHDBXN^"))
+      t[c] = true;
+    return t;
+  }();
+  const int64_t n = (int64_t)md.size();
+  auto first_of = [&](int64_t p) -> int64_t {
+    for (int64_t i = p; i < n; ++i)
+      if (valid[(uint8_t)md[i]]) return i;
+    return -1;
+  };
+  auto first_not_of = [&](int64_t p) -> int64_t {
+    for (int64_t i = p; i < n; ++i)
+      if (!valid[(uint8_t)md[i]]) return i;
+    return -1;
+  };
+  int64_t p = first_of(0);
+  int64_t p_old = -1;
+  int64_t pos = start;
+  int64_t rpos = 0;
+  while (p != -1) {
+    const std::string num = md.substr(p_old + 1, p - (p_old + 1));
+    const int step = std::atoi(num.c_str());
+    pos += step;
+    rpos += step;
+    if (md[p] == '^') {
+      int64_t p2 = first_not_of(p + 1);
+      if (p2 == -1) p2 = n;
+      pos += p2 - (p + 1);
+      p = first_of(p2);
+      p_old = p2 - 1;
+    } else {
+      pos += 1;
+      rpos += 1;
+      const char qc = (rpos < (int64_t)qual.size()) ? qual[rpos] : '\0';
+      if ((int)(uint8_t)qc >= min_qv) counts[pos] += 1;
+      p_old = p;
+      p = first_of(p_old + 1);
+    }
+  }
+}
+
+// --- run configuration ------------------------------------------------------
+struct Cfg {
+  int min_k, max_k, min_qual_trim, min_qual_call;
+  int min_map_qual, max_avg_cov, max_delta_as_xs;
+  int xa_filter, primary_only, active_regions;
+  int min_alt_cnt_tumor;
+  int low_cov_threshold;
+  double min_cov_ratio, cov_threshold;
+  int max_tip_len;
+  int64_t dfs_limit;
+  int max_indel_len, max_mismatch;
+  int max_unit_len, min_report_units, min_report_len, dist_from_str;
+  std::vector<std::string> readgroups;  // empty vector => {"null"} semantics
+
+  bool rg_ok(const std::string& rg) const {
+    if (readgroups.empty()) return true;  // {"null"} admits everything
+    for (const auto& g : readgroups)
+      if (g == "null" || g == rg) return true;
+    return false;
+  }
+};
+
+struct SJob {
+  int32_t win = 0;
+  int32_t K = 0;
+  std::string pathseq;
+  std::vector<int32_t> covT, covN;   // L*4
+  std::vector<uint8_t> span;         // L+1
+  int64_t src_off = 0, ref_dist = 0;
+  int32_t trim5 = -1;
+  uint8_t needs_dp = 0;
+  std::shared_ptr<std::vector<int32_t>> refcov;  // 4*rawlen at emitting k
+};
+
+struct WinInfo {
+  int32_t refid_t = -1, refid_n = -1;
+  int64_t start = 0, end = 0;
+  const uint8_t* raw = nullptr;
+  int64_t rawlen = 0;
+};
+
+struct WinOut {
+  uint8_t fallback = 0;       // python must replay this window
+  uint8_t windows_done = 0;
+  uint8_t num_skip = 0;
+  uint8_t cls[7] = {0};       // tumor region-class counter deltas
+  int64_t reads = 0;          // total_reads delta
+  double ms = 0;
+  std::vector<SJob> jobs;
+};
+
+struct Var {
+  int32_t win = 0;
+  int64_t pos = 0;
+  char code = '?';
+  char prev_ref = 0, prev_alt = 0;
+  int32_t kmer = 0;
+  int32_t cov[8] = {0};       // rcnf rcnr rctf rctr acnf acnr actf actr
+  std::string ref, alt, str_tag;
+};
+
+struct Out {
+  int status = 0;  // 0 ok, 1 open failure
+  Cfg cfg;
+  std::vector<WinInfo> wins;
+  std::vector<WinOut> res;
+  std::vector<SJob*> jobs;     // all jobs in (window, emission) order
+  std::vector<Var> vars;
+  std::vector<uint8_t> varbuf; // packed wire format (built by lsr_finish)
+  std::shared_ptr<std::vector<uint8_t>> raw_keeper;  // window raw bytes
+};
+
+// extraction read record (graph.add_alignment + trim state)
+struct XRead {
+  const Rec* rec = nullptr;    // null for the ref pseudo-read
+  int32_t label = 0;           // TMR=4 NML=5 REF=3
+  int32_t strand = 1;          // FWD=1 REV=2
+  int32_t mate = 0;
+  char code = 'M';             // M mapped, B bastard, R ref
+  int32_t trm5 = 0, trm3 = 0;
+  uint8_t junk = 0;
+};
+
+// --- active-region triage (micro.is_active_region) -------------------------
+bool is_active_region(const std::vector<const Rec*>& alns, const WinInfo& w,
+                      bool is_tumor, const Cfg& cfg, WinOut* out) {
+  const int min_evidence = cfg.min_alt_cnt_tumor;
+  const int mq = is_tumor ? cfg.min_map_qual : 0;
+  std::map<int64_t, int32_t> map_x, map_i, map_d, map_sc;
+
+  for (const Rec* al : alns) {
+    if (al->pos < w.start || al->end > w.end) continue;
+    if (al->mapq < mq || al->is_duplicate()) continue;
+    if (al->seq.empty() || al->qual.empty()) continue;
+    std::string rg = string_tag(*al, "RG");
+    if (rg.empty()) rg = "null";
+    if (!cfg.rg_ok(rg)) continue;
+    const std::string md = string_tag(*al, "MD");
+    if (!md.empty())
+      parse_md(md, map_x, al->pos, al->qual, cfg.min_qual_call);
+    // CIGAR walk: pos advances for every non-I op (incl. S); events at the
+    // post-advance position (reference quirk, Microassembler.cc:316-346)
+    int64_t pos = al->pos;
+    for (uint32_t cg : al->cigar) {
+      const uint32_t op = cg & 0xf;
+      const uint32_t ln = cg >> 4;
+      if (op != 1) pos += ln;        // I==1
+      if (op == 8) map_x[pos] += 1;  // X
+      if (op == 1) map_i[pos] += 1;  // I
+      if (op == 2) map_d[pos] += 1;  // D
+    }
+    // softclip genome positions (bamtools GetSoftClips semantics)
+    {
+      int64_t ref_pos = al->pos;
+      for (uint32_t cg : al->cigar) {
+        const uint32_t op = cg & 0xf;
+        const uint32_t ln = cg >> 4;
+        // D(2) M(0) X(8) N(3) =(7) advance ref
+        if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8) ref_pos += ln;
+        else if (op == 4) map_sc[ref_pos] += 1;  // S
+      }
+    }
+  }
+  auto any_ge = [&](const std::map<int64_t, int32_t>& m) {
+    for (const auto& kv : m)
+      if (kv.second >= min_evidence) return true;
+    return false;
+  };
+  const bool snv = any_ge(map_x);
+  const bool indel = any_ge(map_i) || any_ge(map_d);
+  const bool softclip = any_ge(map_sc);
+
+  if (is_tumor && out) {
+    if (snv && !indel && !softclip) out->cls[0] += 1;  // snv_only
+    if (!snv && indel && !softclip) out->cls[1] += 1;  // indel_only
+    if (!snv && !indel && softclip) out->cls[2] += 1;  // softclip_only
+    if (!snv && (indel || softclip)) out->cls[3] += 1; // indel_or_softclip
+    if ((snv || indel) && !softclip) out->cls[4] += 1; // snv_or_indel
+    if ((snv || softclip) && !indel) out->cls[5] += 1; // snv_or_softclip
+    if (snv || indel || softclip) out->cls[6] += 1;    // snv_or_indel_or_sc
+  }
+  return snv || indel || softclip;
+}
+
+// --- read extraction (micro.extract_reads) ---------------------------------
+// Returns true when the window must be skipped (max avg coverage).
+bool extract_reads(const std::vector<const Rec*>& alns, const WinInfo& w,
+                   bool is_tumor, const Cfg& cfg, std::vector<XRead>& reads,
+                   WinOut& out) {
+  const int mq = is_tumor ? cfg.min_map_qual : 0;
+  const double min_delta = is_tumor ? (double)cfg.max_delta_as_xs : -1.0;
+  int64_t totalreadbp = 0;
+  bool skip = false;
+
+  for (const Rec* al : alns) {
+    const double avgcov =
+        w.rawlen ? (double)totalreadbp / (double)w.rawlen : 0.0;
+    if (avgcov > (double)cfg.max_avg_cov) { skip = true; break; }
+    if (al->pos < w.start || al->end > w.end) continue;
+    if (cfg.primary_only && !al->is_primary()) continue;
+    if (al->mapq < mq || al->is_duplicate()) continue;
+
+    int32_t mate = 0;
+    if (al->is_first_mate()) mate = 1;
+    if (al->is_second_mate()) mate = 2;
+    const int32_t strand = al->is_reverse() ? 2 : 1;
+
+    const double as_ = numeric_tag(*al, "AS");
+    const double xs_ = numeric_tag(*al, "XS");
+    const double delta = std::fabs(as_ - xs_);
+    if (delta <= min_delta && as_ != -1.0 && xs_ != -1.0) continue;
+
+    std::string xt = string_tag(*al, "XT");
+    if (xt.empty()) xt = "null";
+    if (xt == "R" && is_tumor) continue;
+    std::string xa = string_tag(*al, "XA");
+    if (xa.empty()) xa = "null";
+    if (xa != "null" && is_tumor && cfg.xa_filter) continue;
+
+    std::string rg = string_tag(*al, "RG");
+    if (rg.empty()) rg = "null";
+    if (cfg.rg_ok(rg)) {
+      XRead r;
+      r.rec = al;
+      r.label = is_tumor ? 4 : 5;
+      r.strand = strand;
+      r.mate = mate;
+      r.code = al->is_mapped() ? 'M' : 'B';
+      // quality trim (graph.trim; ref Graph.cc:355-384)
+      const std::string& s = al->seq;
+      const std::string& q = al->qual;
+      const int64_t ln = (int64_t)s.size();
+      auto is_dna = [](char c) {
+        return c == 'A' || c == 'C' || c == 'G' || c == 'T' || c == 'a' ||
+               c == 'c' || c == 'g' || c == 't';
+      };
+      auto good = [&](int64_t i) {
+        return is_dna(s[i]) && i < (int64_t)q.size() &&
+               (uint8_t)q[i] >= cfg.min_qual_trim;
+      };
+      int64_t t5 = 0;
+      while (t5 < ln && !good(t5)) ++t5;
+      if (t5 == ln) {
+        r.trm5 = (int32_t)ln;
+        r.trm3 = 0;
+        r.junk = 1;
+      } else {
+        int64_t t3 = 0;
+        while (t3 < ln && !good(ln - 1 - t3)) ++t3;
+        r.trm5 = (int32_t)t5;
+        r.trm3 = (int32_t)t3;
+        r.junk = 0;
+        for (int64_t i = t5; i < ln - t3; ++i)
+          if (!is_dna(s[i])) { r.junk = 1; break; }
+      }
+      reads.push_back(std::move(r));
+      out.reads += 1;
+      totalreadbp += ln;
+    }
+  }
+  return skip;
+}
+
+// --- per-window self-tuning-k loop (micro.process_graph) -------------------
+// Returns false on internal error (window marked for python replay).
+bool process_graph(const WinInfo& w, const Cfg& cfg,
+                   std::vector<XRead>& reads, const uint8_t* gate_row,
+                   int n_k, int win_idx, WinOut& out) {
+  // count mapped
+  int64_t mapped = 0;
+  for (const auto& r : reads)
+    if (r.code == 'M') ++mapped;
+  if (mapped <= 0) return true;
+
+  // ref pseudo-read appended once (fastbuild._add_ref_read)
+  {
+    XRead rr;
+    rr.rec = nullptr;
+    rr.label = 3;
+    rr.strand = 1;
+    rr.mate = 0;
+    rr.code = 'R';
+    reads.push_back(rr);
+  }
+
+  // persistent per-window seq/trim state (ref.py set_k stale-trim quirk)
+  int64_t seq_off = 0, seq_len = w.rawlen;
+  int32_t cur_trim5 = 0, cur_trim3 = 0;
+  (void)cur_trim5;
+  (void)cur_trim3;
+
+  const std::string qK((size_t)w.rawlen, 'K');
+
+  for (int k = cfg.min_k; k <= cfg.max_k; k += 2) {
+    // repeat gates (device-precomputed bitmap, or native scans)
+    const int ki = (k - cfg.min_k) / 2;
+    bool gated;
+    if (n_k > 0 && ki < n_k) {
+      gated = gate_row[ki] != 0;
+    } else {
+      gated = lsq_is_repeat(w.raw, w.rawlen, k) ||
+              lsq_is_almost_repeat(w.raw, w.rawlen, k, cfg.max_mismatch);
+    }
+    if (gated) continue;
+
+    // gather post-trim reads into the concatenated stream (fastbuild
+    // _gather/_concat: skip junk, accumulate totalreadbp, skip len-K<=0,
+    // K+1-wide 0xFF/0 gaps)
+    const int GAP = k + 1;
+    int64_t totalreadbp = 0;
+    std::vector<int64_t> starts;
+    std::vector<int32_t> lens, sample, strand, order;
+    std::vector<const XRead*> used;
+    int64_t tot = 0;
+    for (const auto& r : reads) {
+      if (r.junk) continue;
+      const int64_t ln =
+          (r.rec ? (int64_t)r.rec->seq.size() : w.rawlen) - r.trm5 - r.trm3;
+      if (r.label != 3) totalreadbp += ln;
+      if (ln - k <= 0) continue;
+      used.push_back(&r);
+      tot += ln + GAP;
+    }
+    std::vector<uint8_t> cat((size_t)tot, 0xFF), qcat((size_t)tot, 0);
+    std::vector<int64_t> name_off;
+    std::string name_blob;
+    name_off.push_back(0);
+    int64_t off = 0;
+    for (const XRead* r : used) {
+      const char* sp;
+      const char* qp;
+      int64_t ln;
+      if (r->rec) {
+        ln = (int64_t)r->rec->seq.size() - r->trm5 - r->trm3;
+        sp = r->rec->seq.data() + r->trm5;
+        qp = r->rec->qual.data() + r->trm5;
+        name_blob += r->rec->name;
+      } else {
+        ln = w.rawlen;
+        sp = (const char*)w.raw;
+        qp = qK.data();
+        // ref pseudo-read name = window hdr; only consulted for paired
+        // reads (order>0), never for the ref read — a stand-in is fine
+        name_blob += "ref";
+      }
+      starts.push_back(off);
+      lens.push_back((int32_t)ln);
+      sample.push_back(r->label);
+      strand.push_back(r->strand);
+      order.push_back(r->mate);
+      std::memcpy(cat.data() + off, sp, (size_t)ln);
+      std::memcpy(qcat.data() + off, qp, (size_t)ln);
+      off += ln + GAP;
+      name_off.push_back((int64_t)name_blob.size());
+    }
+
+    const double avgcov =
+        w.rawlen ? (double)totalreadbp / (double)w.rawlen : 0.0;
+
+    if (used.empty()) {
+      // no usable reads: zero coverage projection, done (fastpipe no-seqs)
+      auto rc = std::make_shared<std::vector<int32_t>>(4 * w.rawlen, 0);
+      (void)rc;
+      break;
+    }
+
+    const uint8_t* idxseq = w.raw + seq_off;
+    const int64_t idxlen = seq_len;
+    void* h = lgp_run(
+        cat.data(), qcat.data(), tot, (int64_t)used.size(), starts.data(),
+        lens.data(), sample.data(), strand.data(), order.data(),
+        name_off.data(), (const uint8_t*)name_blob.data(), k,
+        cfg.min_qual_call, avgcov, cfg.low_cov_threshold, cfg.min_cov_ratio,
+        idxseq, idxlen, w.raw, w.rawlen, cfg.cov_threshold, cfg.max_tip_len,
+        k / 2, cfg.dfs_limit, cfg.max_indel_len, cfg.max_mismatch,
+        cfg.max_unit_len, cfg.min_report_units, cfg.min_report_len,
+        cfg.dist_from_str);
+    auto* res = (lgp::Result*)h;
+    const int status = res->status;
+    if (status == 3) {
+      lgp_free(h);
+      return false;  // python replay
+    }
+    // state updates happen for OK and CYCLE/REPEAT alike (fastpipe glue)
+    auto refcov = std::make_shared<std::vector<int32_t>>(res->refcov);
+    cur_trim5 = res->trim5;
+    cur_trim3 = res->trim3;
+    if (res->seq_set) {
+      seq_off = res->seq_off;
+      seq_len = res->seq_len;
+    }
+    for (auto& j : res->jobs) {
+      SJob sj;
+      sj.win = win_idx;
+      sj.K = k;
+      sj.pathseq = std::move(j.pathseq);
+      sj.covT = std::move(j.covT);
+      sj.covN = std::move(j.covN);
+      sj.span = std::move(j.span);
+      sj.src_off = j.src_off;
+      sj.ref_dist = j.ref_dist;
+      sj.trim5 = j.trim5;
+      sj.needs_dp = j.needs_dp;
+      sj.refcov = refcov;
+      out.jobs.push_back(std::move(sj));
+    }
+    lgp_free(h);
+    if (status == 0) break;
+    // CYCLE/REPEAT: retry next k (graph cleared; reads persist)
+  }
+  return true;
+}
+
+// --- one window end-to-end (micro.process_window) ---------------------------
+void process_window(const WinInfo& w, const Cfg& cfg,
+                    const std::vector<const Rec*>& tumor_alns,
+                    const std::vector<const Rec*>& normal_alns,
+                    const uint8_t* gate_row, uint8_t exact_maxk, int n_k,
+                    int win_idx, WinOut& out) {
+  // is_n_seq is always false (reference isNseq `||` bug, util.cc:259-273)
+  if (n_k > 0) {
+    if (exact_maxk) return;  // maxk exact-repeat gate: silent skip
+  } else if (lsq_is_repeat(w.raw, w.rawlen, cfg.max_k)) {
+    return;
+  }
+
+  bool active_t = true, active_n = true;
+  if (cfg.active_regions) {
+    active_t = is_active_region(tumor_alns, w, true, cfg, &out);
+    active_n = is_active_region(normal_alns, w, false, cfg, nullptr);
+  }
+  if (active_t || active_n) {
+    std::vector<XRead> reads;
+    const bool skip_t = extract_reads(tumor_alns, w, true, cfg, reads, out);
+    const bool skip_n = extract_reads(normal_alns, w, false, cfg, reads, out);
+    if (!skip_t && !skip_n) {
+      if (!process_graph(w, cfg, reads, gate_row, n_k, win_idx, out)) {
+        out.fallback = 1;
+        out.jobs.clear();
+        return;
+      }
+    } else {
+      out.num_skip = 1;
+    }
+  } else {
+    out.num_skip = 1;
+  }
+  out.windows_done = 1;
+}
+
+}  // namespace lsr
+
+// ---------------------------------------------------------------------------
+// Finish stage: aligned path -> transcripts -> variant records
+// (extract.py _scan + transcript.py; ref Graph.cc:788-1220,
+// Transcript.hh:107-226). Only the 4 coverage columns exist in non-LR mode;
+// the HP columns are identically zero, so the 12 HP outputs are constants.
+// ---------------------------------------------------------------------------
+
+namespace lsr {
+
+struct Row4 {
+  int64_t v[4];
+};
+
+inline Row4 row_at(const std::vector<int32_t>& cov, int64_t i) {
+  return Row4{{cov[i * 4], cov[i * 4 + 1], cov[i * 4 + 2], cov[i * 4 + 3]}};
+}
+
+// REF-allele coverage row at window position pos (zeros out of range);
+// layout from lgp refcov: [t_fwd | t_rev | n_fwd | n_rev] x rawlen.
+inline Row4 ref_row(const SJob& j, const WinInfo& w, int64_t pos,
+                    bool tumor) {
+  if (pos < 0 || pos >= w.rawlen || !j.refcov) return Row4{{0, 0, 0, 0}};
+  const int32_t* rc = j.refcov->data();
+  const int64_t n = w.rawlen;
+  if (tumor) return Row4{{rc[pos], rc[n + pos], 0, 0}};
+  return Row4{{rc[2 * n + pos], rc[3 * n + pos], 0, 0}};
+}
+
+struct Tx {
+  int64_t pos, ref_pos, start_pos, end_pos, ref_end_pos;
+  char code;
+  std::string ref, qry;
+  bool somatic;
+  char prev_bp_ref, prev_bp_alt;
+  std::vector<Row4> altN, altT, refN, refT;
+};
+
+struct Stats {
+  int64_t mn[4], mn0[4], mean[4];
+};
+
+// transcript.py _compute_stats: min seeded from the first row; min_non0
+// seeded from min (zero first row pins it); sums wrap uint16; mean is
+// float32-divided then truncated (Transcript.hh:123-226).
+Stats compute_stats(const std::vector<Row4>& rows) {
+  Stats st{};
+  int64_t s[4] = {0, 0, 0, 0};
+  for (int c = 0; c < 4; ++c) {
+    st.mn[c] = rows[0].v[c];
+    st.mn0[c] = rows[0].v[c];
+  }
+  for (const auto& r : rows)
+    for (int c = 0; c < 4; ++c) {
+      const int64_t x = r.v[c];
+      s[c] = (s[c] + x) & 0xFFFF;
+      if (x != 0 && x < st.mn0[c]) st.mn0[c] = x;
+      if (x < st.mn[c]) st.mn[c] = x;
+    }
+  const int64_t n = (int64_t)rows.size();
+  for (int c = 0; c < 4; ++c)
+    st.mean[c] = n ? (int64_t)((float)s[c] / (float)n) : 0;
+  return st;
+}
+
+// find_tandems with motif accumulation (engine/seqs.py find_tandems;
+// ref util.cc:574-758).
+void find_tandems_full(const std::string& seq, int max_unit_len,
+                       int min_report_units, int min_report_len,
+                       int dist_from_str, int64_t pos, bool* ans_out,
+                       int64_t* len_out, std::string* motif_out) {
+  const int64_t L = (int64_t)seq.size();
+  bool ans = false;
+  int64_t out_len = 0;
+  std::string motif;
+  std::vector<std::vector<int64_t>> offsets(max_unit_len + 1);
+  for (int m = 0; m <= max_unit_len; ++m) {
+    offsets[m].assign(max_unit_len + 2, 0);
+    for (int p = 0; p < m; ++p) offsets[m][p] = p;
+  }
+  for (int64_t i = 0; i < L; ++i) {
+    for (int merlen = 1; merlen <= max_unit_len; ++merlen) {
+      const int64_t phase = i % merlen;
+      const int64_t offset = offsets[merlen][phase];
+      int64_t j = 0;
+      while (j < merlen && i + j < L && seq[i + j] == seq[offset + j]) ++j;
+      if (j != merlen || (i + j + 1 == L)) {
+        const char left = offset > 0 ? seq[offset - 1] : '\0';
+        if (left != seq[offset + merlen - 1]) {
+          if ((i - offset) / merlen >= min_report_units &&
+              i - offset >= min_report_len) {
+            int64_t ml = 1;
+            while (ml < merlen) {
+              const int64_t units = (i - offset + j) / ml;
+              bool allmatch = true;
+              for (int64_t index = 1; index < units; ++index)
+                if (seq.compare(offset, ml, seq, offset + index * ml, ml) !=
+                    0) {
+                  allmatch = false;
+                  break;
+                }
+              if (!allmatch)
+                ++ml;
+              else
+                break;
+            }
+            if (ml == merlen) {
+              const int64_t start = offset, end = i + j;
+              if (pos >= start - dist_from_str && pos <= end + dist_from_str) {
+                ans = true;
+                out_len = end - start;
+                motif += seq.substr(offset, merlen);
+              }
+            }
+          }
+        }
+        offsets[merlen][phase] = i;
+      }
+    }
+  }
+  *ans_out = ans;
+  *len_out = out_len;
+  *motif_out = std::move(motif);
+}
+
+inline bool is_acgt(char c) {
+  return c == 'A' || c == 'C' || c == 'G' || c == 'T';
+}
+
+// Column-scan state machine for one job. Returns false on the
+// leading-gap abort (the reference's swallowed std::out_of_range).
+bool scan_job(const SJob& j, const WinInfo& w, const std::string& ra,
+              const std::string& pa, const Cfg& cfg, std::vector<Var>& vars) {
+  const int64_t K = j.K;
+  const int64_t L = (int64_t)j.covN.size() / 4;
+  int64_t pos_in_ref = 0, refpos = 0, pathpos = 0;
+  char code = '?';
+  std::vector<Tx> txs;
+  const int64_t n = (int64_t)ra.size();
+
+  for (int64_t i = 0; i < n; ++i) {
+    const char prev_code = code;
+    if (ra[i] == '-') {
+      code = '^';
+      pos_in_ref = refpos;
+      pathpos += 1;
+    } else if (pa[i] == '-') {
+      code = 'v';
+      pos_in_ref = refpos;
+      refpos += 1;
+    } else {
+      code = (ra[i] == pa[i]) ? '=' : 'x';
+      pos_in_ref = refpos;
+      refpos += 1;
+      pathpos += 1;
+    }
+    if (pathpos > L) break;
+    const bool within = j.span[pathpos] != 0;
+    const int64_t P = pathpos - 1;
+    // python's covN[-1] wraps to the last row (only reachable on paths the
+    // leading-gap abort kills before the rows are consumed)
+    const int64_t Pw = P >= 0 ? P : (L > 0 ? L - 1 : 0);
+    if (code != '=') {
+      const Row4 COVn = L ? row_at(j.covN, Pw) : Row4{{0, 0, 0, 0}};
+      const Row4 COVt = L ? row_at(j.covT, Pw) : Row4{{0, 0, 0, 0}};
+      const Row4 REFn = ref_row(j, w, pos_in_ref + j.trim5, false);
+      const Row4 REFt = ref_row(j, w, pos_in_ref + j.trim5, true);
+      const int64_t rrpos = pos_in_ref + w.start + j.trim5;
+      const size_t ts = txs.size();
+      int64_t pr = i - 1;
+      while (pr >= 0 && !is_acgt(ra[pr])) --pr;
+      int64_t pq = i - 1;
+      while (pq >= 0 && !is_acgt(pa[pq])) --pq;
+      if (pr < 0 || pq < 0) return false;  // leading-gap alignment
+
+      if (ts > 0 && prev_code != '=') {
+        Tx& t = txs.back();
+        if (within) t.somatic = true;
+        t.ref += ra[i];
+        t.qry += pa[i];
+        t.end_pos = P;
+        t.ref_end_pos = pos_in_ref;
+        if (code == '^' && t.code == code && t.pos == rrpos) {
+          t.altN.push_back(COVn);
+          t.altT.push_back(COVt);
+        } else if (code == 'v' && t.code == code &&
+                   (t.pos + (int64_t)t.ref.size()) == rrpos) {
+          t.refN.push_back(REFn);
+          t.refT.push_back(REFt);
+        } else if (code == 'x' || t.code != code) {
+          t.code = 'c';
+          t.altN.push_back(COVn);
+          t.altT.push_back(COVt);
+          t.refN.push_back(REFn);
+          t.refT.push_back(REFt);
+        }
+      } else {
+        Tx t;
+        t.pos = rrpos;
+        t.ref_pos = pos_in_ref;
+        t.start_pos = P + 1;
+        t.code = code;
+        t.end_pos = P;
+        t.ref_end_pos = pos_in_ref;
+        t.ref.assign(1, ra[i]);
+        t.qry.assign(1, pa[i]);
+        t.somatic = within;
+        t.prev_bp_ref = ra[pr];
+        t.prev_bp_alt = pa[pq];
+        t.altN.push_back(COVn);
+        t.altT.push_back(COVt);
+        t.refN.push_back(REFn);
+        t.refT.push_back(REFt);
+        txs.push_back(std::move(t));
+      }
+    }
+  }
+
+  for (Tx& t : txs) {
+    if (t.code != 'x') {
+      // K bp of post-event coverage resync (Graph.cc:1040-1068)
+      for (int64_t q = 0; q <= K; ++q) {
+        const int64_t idx1 = t.end_pos + q;
+        if (idx1 < L) {
+          if (j.span[idx1]) t.somatic = true;
+          t.altN.push_back(row_at(j.covN, idx1));
+          t.altT.push_back(row_at(j.covT, idx1));
+        }
+        const int64_t idx2 = t.ref_end_pos + j.trim5 + q;
+        t.refN.push_back(ref_row(j, w, idx2, false));
+        t.refT.push_back(ref_row(j, w, idx2, true));
+      }
+    }
+    const Stats aN = compute_stats(t.altN);
+    const Stats aT = compute_stats(t.altT);
+    const Stats rN = compute_stats(t.refN);
+    const Stats rT = compute_stats(t.refT);
+
+    int64_t RCNF = rN.mn[0], RCNR = rN.mn[1];
+    int64_t RCTF = rT.mn[0], RCTR = rT.mn[1];
+    int64_t ACNF, ACNR;
+    if (t.code == 'x') {
+      ACNF = aN.mn[2];
+      ACNR = aN.mn[3];
+    } else {
+      ACNF = aN.mn0[0];
+      ACNR = aN.mn0[1];
+    }
+    int64_t ACTF = (t.code == 'x') ? aT.mn[2] : aT.mn[0];
+    int64_t ACTR = (t.code == 'x') ? aT.mn[3] : aT.mn[1];
+
+    if (t.somatic) {
+      RCNF = rN.mean[0];
+      RCNR = rN.mean[1];
+      RCTF = rT.mean[0];
+      RCTR = rT.mean[1];
+      ACNF = ACNR = 0;
+    }
+
+    if (ACNF > 0 || ACNR > 0 || ACTF > 0 || ACTR > 0) {
+      bool ans;
+      int64_t slen;
+      std::string motif;
+      find_tandems_full(j.pathseq, cfg.max_unit_len, cfg.min_report_units,
+                        cfg.min_report_len, cfg.dist_from_str, t.start_pos,
+                        &ans, &slen, &motif);
+      Var v;
+      v.win = j.win;
+      v.pos = t.pos - 1;
+      v.code = t.code;
+      v.prev_ref = t.prev_bp_ref;
+      v.prev_alt = t.prev_bp_alt;
+      v.kmer = (int32_t)K;
+      v.cov[0] = (int32_t)RCNF;
+      v.cov[1] = (int32_t)RCNR;
+      v.cov[2] = (int32_t)RCTF;
+      v.cov[3] = (int32_t)RCTR;
+      v.cov[4] = (int32_t)ACNF;
+      v.cov[5] = (int32_t)ACNR;
+      v.cov[6] = (int32_t)ACTF;
+      v.cov[7] = (int32_t)ACTR;
+      v.ref = t.ref;
+      v.alt = t.qry;
+      if (ans) v.str_tag = std::to_string(slen) + motif;
+      vars.push_back(std::move(v));
+    }
+  }
+  return true;
+}
+
+}  // namespace lsr
+
+// ---------------------------------------------------------------------------
+// Shard-runner orchestration: genomic chunking, shared read caches, worker
+// threads, and the flat C API.
+// ---------------------------------------------------------------------------
+
+namespace lsr {
+
+struct ChromCache {
+  std::vector<Rec> recs;       // file order (coordinate-sorted)
+  std::vector<int32_t> pos, end;
+  int32_t maxspan = 0;
+
+  void build() {
+    pos.resize(recs.size());
+    end.resize(recs.size());
+    maxspan = 0;
+    for (size_t i = 0; i < recs.size(); ++i) {
+      pos[i] = recs[i].pos;
+      end[i] = recs[i].end;
+      maxspan = std::max(maxspan, recs[i].end - recs[i].pos);
+    }
+  }
+  // window view with the python _fetch contract: pos <= right,
+  // end >= left, file order
+  void view(int64_t left, int64_t right, std::vector<const Rec*>& out) const {
+    out.clear();
+    auto lo = std::lower_bound(pos.begin(), pos.end(),
+                               (int32_t)(left - maxspan));
+    auto hi = std::upper_bound(pos.begin(), pos.end(), (int32_t)right);
+    for (auto it = lo; it < hi; ++it) {
+      const size_t i = (size_t)(it - pos.begin());
+      if (end[i] >= left) out.push_back(&recs[i]);
+    }
+  }
+};
+
+struct Runner {
+  Cfg cfg;
+  Out* out;
+  const uint8_t* gates;       // [n_windows, n_k] or null
+  const uint8_t* exact_maxk;  // [n_windows] or null
+  int n_k;
+};
+
+}  // namespace lsr
+
+extern "C" {
+
+// icfg layout: min_k max_k min_qual_trim min_qual_call min_map_qual
+//   max_avg_cov max_delta_as_xs xa_filter primary_only active_regions
+//   min_alt_cnt_tumor low_cov_threshold max_tip_len dfs_limit
+//   max_indel_len max_mismatch max_unit_len min_report_units
+//   min_report_len dist_from_str
+// dcfg layout: min_cov_ratio cov_threshold
+void* lsr_run(const char* tumor_path, const char* normal_path,
+              int64_t n_windows, const int32_t* refid_t,
+              const int32_t* refid_n, const int64_t* win_start,
+              const int64_t* win_end, const uint8_t* raw_blob,
+              const int64_t* raw_off, const uint8_t* gates,
+              const uint8_t* exact_maxk, int n_k, const int64_t* icfg,
+              const double* dcfg, const char* readgroups, int n_threads,
+              int64_t cache_span) {
+  auto* out = new lsr::Out();
+  lsr::Cfg cfg;
+  cfg.min_k = (int)icfg[0];
+  cfg.max_k = (int)icfg[1];
+  cfg.min_qual_trim = (int)icfg[2];
+  cfg.min_qual_call = (int)icfg[3];
+  cfg.min_map_qual = (int)icfg[4];
+  cfg.max_avg_cov = (int)icfg[5];
+  cfg.max_delta_as_xs = (int)icfg[6];
+  cfg.xa_filter = (int)icfg[7];
+  cfg.primary_only = (int)icfg[8];
+  cfg.active_regions = (int)icfg[9];
+  cfg.min_alt_cnt_tumor = (int)icfg[10];
+  cfg.low_cov_threshold = (int)icfg[11];
+  cfg.max_tip_len = (int)icfg[12];
+  cfg.dfs_limit = icfg[13];
+  cfg.max_indel_len = (int)icfg[14];
+  cfg.max_mismatch = (int)icfg[15];
+  cfg.max_unit_len = (int)icfg[16];
+  cfg.min_report_units = (int)icfg[17];
+  cfg.min_report_len = (int)icfg[18];
+  cfg.dist_from_str = (int)icfg[19];
+  cfg.min_cov_ratio = dcfg[0];
+  cfg.cov_threshold = dcfg[1];
+  if (readgroups && readgroups[0]) {
+    std::string s(readgroups), tok;
+    for (char c : s) {
+      if (c == '\n') {
+        if (!tok.empty()) cfg.readgroups.push_back(tok);
+        tok.clear();
+      } else {
+        tok += c;
+      }
+    }
+    if (!tok.empty()) cfg.readgroups.push_back(tok);
+  }
+
+  BamFile tumor, normal;
+  if (!tumor.open(tumor_path) || !normal.open(normal_path)) {
+    tumor.bgzf.close();
+    normal.bgzf.close();
+    out->status = 1;
+    return out;
+  }
+
+  // copy window descriptors (the raw blob is copied so Python may free it)
+  const int64_t raw_total = raw_off[n_windows];
+  auto raw_copy = std::make_shared<std::vector<uint8_t>>(
+      raw_blob, raw_blob + raw_total);
+  out->wins.resize(n_windows);
+  out->res.resize(n_windows);
+  for (int64_t i = 0; i < n_windows; ++i) {
+    auto& w = out->wins[i];
+    w.refid_t = refid_t[i];
+    w.refid_n = refid_n[i];
+    w.start = win_start[i];
+    w.end = win_end[i];
+    w.raw = raw_copy->data() + raw_off[i];
+    w.rawlen = raw_off[i + 1] - raw_off[i];
+  }
+  out->raw_keeper = raw_copy;  // keep the blob alive with the handle
+
+  // genomic chunking over (refid_t, start)
+  std::vector<int64_t> order(n_windows);
+  for (int64_t i = 0; i < n_windows; ++i) order[i] = i;
+  std::sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
+    if (out->wins[a].refid_t != out->wins[b].refid_t)
+      return out->wins[a].refid_t < out->wins[b].refid_t;
+    return out->wins[a].start < out->wins[b].start;
+  });
+  if (cache_span <= 0) cache_span = 8 << 20;
+  if (n_threads < 1) n_threads = 1;
+
+  int64_t c0 = 0;
+  while (c0 < n_windows) {
+    const int32_t rid = out->wins[order[c0]].refid_t;
+    const int32_t rid_n = out->wins[order[c0]].refid_n;
+    int64_t lo = out->wins[order[c0]].start;
+    int64_t hi = out->wins[order[c0]].end;
+    int64_t c1 = c0 + 1;
+    while (c1 < n_windows && out->wins[order[c1]].refid_t == rid &&
+           out->wins[order[c1]].end - lo <= cache_span) {
+      hi = std::max(hi, out->wins[order[c1]].end);
+      ++c1;
+    }
+    // load both caches (two reader threads)
+    lsr::ChromCache tc, nc;
+    {
+      std::thread t1([&] {
+        if (rid >= 0) lsr::fetch_recs(tumor, rid, lo, hi, tc.recs);
+        tc.build();
+      });
+      std::thread t2([&] {
+        if (rid_n >= 0) lsr::fetch_recs(normal, rid_n, lo, hi, nc.recs);
+        nc.build();
+      });
+      t1.join();
+      t2.join();
+    }
+    // process the chunk's windows with a worker pool
+    std::atomic<int64_t> next(c0);
+    auto worker = [&] {
+      std::vector<const lsr::Rec*> tv, nv;
+      while (true) {
+        const int64_t slot = next.fetch_add(1);
+        if (slot >= c1) break;
+        const int64_t wi = order[slot];
+        const auto& w = out->wins[wi];
+        auto t0 = std::chrono::steady_clock::now();
+        tc.view(w.start, w.end, tv);
+        nc.view(w.start, w.end, nv);
+        lsr::process_window(
+            w, cfg, tv, nv, gates ? gates + wi * n_k : nullptr,
+            exact_maxk ? exact_maxk[wi] : 0, n_k, (int)wi, out->res[wi]);
+        out->res[wi].ms =
+            std::chrono::duration<double, std::milli>(
+                std::chrono::steady_clock::now() - t0)
+                .count();
+      }
+    };
+    std::vector<std::thread> pool;
+    for (int t = 0; t < n_threads; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+    c0 = c1;
+  }
+  tumor.bgzf.close();
+  normal.bgzf.close();
+
+  // flat job list in (window, emission) order
+  for (int64_t i = 0; i < n_windows; ++i)
+    for (auto& j : out->res[i].jobs) out->jobs.push_back(&j);
+
+  // store cfg for the finish stage
+  out->cfg = cfg;
+  return out;
+}
+
+int lsr_status(void* h) { return ((lsr::Out*)h)->status; }
+
+long lsr_n_jobs(void* h) { return (long)((lsr::Out*)h)->jobs.size(); }
+
+// 6 int64 per job: win, src_off, ref_dist, path_len, needs_dp, K
+void lsr_job_meta(void* h, int64_t* outp) {
+  auto* o = (lsr::Out*)h;
+  for (size_t i = 0; i < o->jobs.size(); ++i) {
+    const lsr::SJob* j = o->jobs[i];
+    outp[i * 6 + 0] = j->win;
+    outp[i * 6 + 1] = j->src_off;
+    outp[i * 6 + 2] = j->ref_dist;
+    outp[i * 6 + 3] = (int64_t)j->pathseq.size();
+    outp[i * 6 + 4] = j->needs_dp;
+    outp[i * 6 + 5] = j->K;
+  }
+}
+
+const char* lsr_job_path(void* h, long i) {
+  return ((lsr::Out*)h)->jobs[i]->pathseq.c_str();
+}
+
+// per window: flags (bit0 fallback), reads, ms, and 9 counters
+// (num_skip + 7 region classes + windows_done)
+void lsr_win_out(void* h, uint8_t* flags, int64_t* reads, double* ms,
+                 int64_t* cls) {
+  auto* o = (lsr::Out*)h;
+  for (size_t i = 0; i < o->res.size(); ++i) {
+    const auto& r = o->res[i];
+    flags[i] = r.fallback ? 1 : 0;
+    reads[i] = r.reads;
+    ms[i] = r.ms;
+    cls[i * 9 + 0] = r.num_skip;
+    for (int c = 0; c < 7; ++c) cls[i * 9 + 1 + c] = r.cls[c];
+    cls[i * 9 + 8] = r.windows_done;
+  }
+}
+
+// Finish: aligned strings for the DP jobs (in job order, dp-subset order),
+// non-DP jobs use their own (refseq, pathseq). Builds the packed varbuf.
+void lsr_finish(void* h, const uint8_t* ra_blob, const int64_t* ra_off,
+                const uint8_t* pa_blob, const int64_t* pa_off) {
+  auto* o = (lsr::Out*)h;
+  o->vars.clear();
+  int64_t dp = 0;
+  for (const lsr::SJob* j : o->jobs) {
+    if (o->res[j->win].fallback) continue;  // replayed in python
+    std::string ra, pa;
+    if (j->needs_dp) {
+      ra.assign((const char*)ra_blob + ra_off[dp],
+                (size_t)(ra_off[dp + 1] - ra_off[dp]));
+      pa.assign((const char*)pa_blob + pa_off[dp],
+                (size_t)(pa_off[dp + 1] - pa_off[dp]));
+      ++dp;
+    } else {
+      const auto& w = o->wins[j->win];
+      ra.assign((const char*)w.raw + j->src_off, (size_t)j->ref_dist);
+      pa = j->pathseq;
+    }
+    lsr::scan_job(*j, o->wins[j->win], ra, pa, o->cfg, o->vars);
+  }
+  // pack: int32 win; int64 pos; u8 code,prev_ref,prev_alt,pad; int32 kmer;
+  //       int32 l_ref,l_alt,l_str; int32 cov[8]; bytes ref,alt,str
+  o->varbuf.clear();
+  for (const auto& v : o->vars) {
+    const size_t base = o->varbuf.size();
+    o->varbuf.resize(base + 64 + v.ref.size() + v.alt.size() +
+                     v.str_tag.size());
+    uint8_t* w = o->varbuf.data() + base;
+    std::memcpy(w, &v.win, 4);
+    std::memcpy(w + 4, &v.pos, 8);
+    w[12] = (uint8_t)v.code;
+    w[13] = (uint8_t)v.prev_ref;
+    w[14] = (uint8_t)v.prev_alt;
+    w[15] = 0;
+    std::memcpy(w + 16, &v.kmer, 4);
+    const int32_t lr = (int32_t)v.ref.size(), la = (int32_t)v.alt.size(),
+                  ls = (int32_t)v.str_tag.size();
+    std::memcpy(w + 20, &lr, 4);
+    std::memcpy(w + 24, &la, 4);
+    std::memcpy(w + 28, &ls, 4);
+    std::memcpy(w + 32, v.cov, 32);
+    std::memcpy(w + 64, v.ref.data(), v.ref.size());
+    std::memcpy(w + 64 + v.ref.size(), v.alt.data(), v.alt.size());
+    std::memcpy(w + 64 + v.ref.size() + v.alt.size(), v.str_tag.data(),
+                v.str_tag.size());
+  }
+}
+
+long lsr_n_vars(void* h) { return (long)((lsr::Out*)h)->vars.size(); }
+long lsr_varbuf_size(void* h) { return (long)((lsr::Out*)h)->varbuf.size(); }
+const uint8_t* lsr_varbuf(void* h) { return ((lsr::Out*)h)->varbuf.data(); }
+
+void lsr_free(void* h) { delete (lsr::Out*)h; }
+
+}  // extern "C"

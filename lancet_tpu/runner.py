@@ -95,10 +95,15 @@ def _process_shard(ma, cfg, shard, shard_idx, resume_state) -> None:
 
 
 def run(cfg: Config, command_line: str = "lancet-tpu", date: str | None = None,
-        engine: str = "oracle", processes: bool = False) -> str:
+        engine: str = "oracle", processes: bool = False,
+        stats: dict | None = None) -> str:
     """Run the caller; returns the VCF text. `processes=True` fans shards
     out to a process pool (host parallelism; device work still batches
-    per shard)."""
+    per shard). `stats`, if given, is filled with per-stage wall seconds
+    (gates / host graph stage / device DP / finish) and counts."""
+    if stats is None:
+        stats = {}
+    t_start = time.perf_counter()
     fasta = open_fasta(cfg.ref_fasta)
     tumor = open_bam(cfg.tumor_bam)
     normal = open_bam(cfg.normal_bam)
@@ -157,7 +162,81 @@ def run(cfg: Config, command_line: str = "lancet-tpu", date: str | None = None,
     merged = VariantDB(cfg.lr_mode)
     all_times: list = []
     counters = []
-    if cfg.num_threads > 1 and processes:
+
+    # Native batched shard runner: the whole host stage (fetch, triage,
+    # filters, per-k graph) runs in C++ threads; Python does the device DP
+    # batch and variant-object construction. Falls back to the per-window
+    # engines when unavailable or for modes it doesn't cover.
+    import os
+
+    use_native = (engine == "tpu" and not cfg.lr_mode and not cfg.kmer_recovery
+                  and not cfg.print_graph and not cfg.resume_dir
+                  and not os.environ.get("LANCET_TPU_NO_SHARDRUN"))
+    if use_native:
+        from .engine.shardrun import run_shards
+
+        ordered = []
+        shard_of = []
+        for si, shard in enumerate(shards):
+            sw = sorted(shard, key=lambda w: w.name)
+            ordered.extend(sw)
+            shard_of.extend([si] * len(sw))
+        res = run_shards(cfg_eff, ordered, tumor, normal, stats=stats)
+        if res is not None:
+            from .engine.micro import ShardCounters
+
+            ctr = ShardCounters()
+            fb_ma = None
+            pos = 0
+            trace = bool(cfg.trace_file)
+            for si in range(len(shards)):
+                vdb = VariantDB(cfg.lr_mode)
+                while pos < len(ordered) and shard_of[pos] == si:
+                    wi = pos
+                    w = ordered[wi]
+                    if wi in res.fallback:
+                        if fb_ma is None:
+                            fb_ma = Microassembler(cfg_eff,
+                                                   readers=(tumor, normal),
+                                                   engine="tpu")
+                        fb_ma.vdb = vdb
+                        r0 = fb_ma.counters.total_reads
+                        t0 = time.perf_counter()
+                        fb_ma.process_window(w)
+                        fb_ma.flush_path_jobs()
+                        if trace:
+                            all_times.append(
+                                (w.name, (time.perf_counter() - t0) * 1e3,
+                                 fb_ma.counters.total_reads - r0))
+                    else:
+                        for v in res.variants_by_window.get(wi, ()):  # noqa
+                            vdb.add_var(v)
+                        c = res.counters[wi]
+                        ctr.num_skip += int(c[0])
+                        ctr.num_snv_only += int(c[1])
+                        ctr.num_indel_only += int(c[2])
+                        ctr.num_softclip_only += int(c[3])
+                        ctr.num_indel_or_softclip += int(c[4])
+                        ctr.num_snv_or_indel += int(c[5])
+                        ctr.num_snv_or_softclip += int(c[6])
+                        ctr.num_snv_or_indel_or_softclip += int(c[7])
+                        ctr.total_reads += int(res.reads[wi])
+                        ctr.windows_done += int(c[8])
+                        if trace:
+                            all_times.append((w.name, float(res.times[wi]),
+                                              int(res.reads[wi])))
+                    pos += 1
+                merged.merge_from(vdb)
+            if fb_ma is not None:
+                counters.append(fb_ma.counters)
+            counters.append(ctr)
+            use_native = True
+        else:
+            use_native = False
+
+    if use_native:
+        pass
+    elif cfg.num_threads > 1 and processes:
         # share-nothing shard workers (reference pthread model,
         # Lancet.cc:844-928); shard DBs merged in shard order so the
         # result is process-count invariant
@@ -174,6 +253,7 @@ def run(cfg: Config, command_line: str = "lancet-tpu", date: str | None = None,
         if defer:
             from .engine.micro import Microassembler as _MA
 
+            t0 = time.perf_counter()
             planner = _MA(cfg_eff, readers=None, engine=engine)
             planner._precompute_gates(sorted(windows, key=lambda w: w.name))
             for i, shard in enumerate(shards):
@@ -181,6 +261,7 @@ def run(cfg: Config, command_line: str = "lancet-tpu", date: str | None = None,
                 gates_by_shard[i] = (
                     {n: g for n, g in planner._gates.items() if n in names},
                     planner._gate_kidx)
+            stats["t_gates"] = time.perf_counter() - t0
 
         # forkserver: the server boots once via exec (no inherited TPU
         # client — never plain-fork a process with a live device runtime)
@@ -199,6 +280,7 @@ def run(cfg: Config, command_line: str = "lancet-tpu", date: str | None = None,
         # workers beyond the physical cores only add fork + pickle + context
         # switch overhead; shard count stays num_threads (result-identical)
         n_workers = max(1, min(cfg.num_threads, _os.cpu_count() or 8))
+        t0 = time.perf_counter()
         with cf.ProcessPoolExecutor(max_workers=n_workers,
                                     mp_context=ctx) as ex:
             futs = [ex.submit(_run_shard, cfg_eff, cfg.tumor_bam,
@@ -206,17 +288,23 @@ def run(cfg: Config, command_line: str = "lancet-tpu", date: str | None = None,
                               resume_state[i], gates_by_shard[i], defer)
                     for i, shard in enumerate(shards)]
             results = [fut.result() for fut in futs]
+        stats["t_host"] = time.perf_counter() - t0
         if defer:
             from .engine.extract import finish_path
 
             all_jobs = [j for (_, _, _, jobs) in results for j in jobs]
             dp_jobs = [j for j in all_jobs if j.needs_dp]
+            stats["n_jobs"] = len(all_jobs)
+            stats["n_dp"] = len(dp_jobs)
             aligned = {}
+            t0 = time.perf_counter()
             if dp_jobs:
                 from .tpu.align_batch import batch_align
 
                 out = batch_align([(j.refseq, j.pathseq) for j in dp_jobs])
                 aligned = {id(j): r for j, r in zip(dp_jobs, out)}
+            stats["t_dp"] = time.perf_counter() - t0
+            t0 = time.perf_counter()
             for vdb, times, ctr, jobs in results:
                 for j in jobs:
                     ra, pa = (aligned[id(j)] if j.needs_dp
@@ -225,6 +313,7 @@ def run(cfg: Config, command_line: str = "lancet-tpu", date: str | None = None,
                 merged.merge_from(vdb)
                 all_times.extend(times)
                 counters.append(ctr)
+            stats["t_finish"] = time.perf_counter() - t0
         else:
             for vdb, times, ctr, _ in results:
                 merged.merge_from(vdb)
@@ -247,6 +336,9 @@ def run(cfg: Config, command_line: str = "lancet-tpu", date: str | None = None,
                                      "reads": reads}) + "\n")
 
     _print_summary(counters, len(windows))
+
+    stats["t_total"] = time.perf_counter() - t_start
+    stats["n_windows"] = len(windows)
 
     if date is None:
         date = time.asctime() + "\n"
