@@ -60,6 +60,7 @@ def _lib():
             lib.lsr_varbuf.restype = u8p
             lib.lsr_varbuf.argtypes = [ctypes.c_void_p]
             lib.lsr_free.argtypes = [ctypes.c_void_p]
+            lib.lsr_stage_ns.argtypes = [i64p]
             _LSR = lib
         except Exception:
             _LSR = 0
@@ -264,6 +265,14 @@ def run_shards(cfg, windows, tumor, normal, stats: dict | None = None):
         if stats is not None:
             stats["t_finish"] = _time.perf_counter() - t0
 
+        if stats is not None:
+            ns = np.zeros(10, np.int64)
+            lib.lsr_stage_ns(p(ns, i64p))
+            for k, v in zip(("t_c_fetch", "t_c_triage", "t_c_extract",
+                             "t_c_kloop", "t_c_scan", "t_c_build",
+                             "t_c_refcov", "t_c_mat", "t_c_stages",
+                             "t_c_eka"), ns):
+                stats[k] = float(v) / 1e9
         return ShardRunResult(variants_by_window, fallback, cls, times,
                               reads, int(n_jobs), len(pairs))
     finally:

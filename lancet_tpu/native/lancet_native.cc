@@ -624,6 +624,105 @@ inline void comp_table(uint8_t* t) {
   for (int i = 0; i < 10; ++i) t[(uint8_t)a[i]] = (uint8_t)b[i];
 }
 
+// 64-bit byte hash (8-byte strides, xorshift mix); nonzero by construction
+// so 0 can mark empty slots in the open-addressing tables below.
+inline uint64_t hash_bytes(const uint8_t* p, int len) {
+  uint64_t h = 1469598103934665603ull;
+  int i = 0;
+  for (; i + 8 <= len; i += 8) {
+    uint64_t w;
+    std::memcpy(&w, p + i, 8);
+    h = (h ^ w) * 0x9E3779B97F4A7C15ull;
+    h ^= h >> 29;
+  }
+  if (i < len) {
+    uint64_t w = 0;
+    std::memcpy(&w, p + i, len - i);
+    h = (h ^ w) * 0x9E3779B97F4A7C15ull;
+    h ^= h >> 29;
+  }
+  return h | 1;
+}
+
+// Open-addressing mer-dedup table: stores (hash, node id); the canonical
+// bytes live in `rep`, collisions verify with memcmp. Replaces the
+// per-call unordered_map (allocation + chained probes dominated the
+// build-kernel profile). Purely a dedup mechanism: node creation order
+// (first occurrence) is unchanged.
+struct FlatNodeMap {
+  std::vector<uint64_t> hash;
+  std::vector<int32_t> val;
+  uint64_t mask = 0;
+  void init(size_t expected) {
+    size_t cap = 16;
+    while (cap < expected * 2) cap <<= 1;
+    if (hash.size() != cap) {
+      hash.assign(cap, 0);
+      val.assign(cap, 0);
+    } else {
+      std::fill(hash.begin(), hash.end(), 0);
+    }
+    mask = cap - 1;
+  }
+};
+
+// Open-addressing u64 -> i64 min-map (edge event times); empty = val
+// INT64_MIN.
+struct FlatU64Map {
+  std::vector<uint64_t> key;
+  std::vector<int64_t> val;
+  uint64_t mask = 0;
+  size_t used = 0;
+  void init(size_t expected) {
+    size_t cap = 16;
+    while (cap < expected * 2) cap <<= 1;
+    if (key.size() != cap) {
+      key.assign(cap, 0);
+      val.assign(cap, INT64_MIN);
+    } else {
+      std::fill(val.begin(), val.end(), INT64_MIN);
+    }
+    mask = cap - 1;
+    used = 0;
+  }
+  static uint64_t mix(uint64_t k) {
+    k ^= k >> 33;
+    k *= 0xFF51AFD7ED558CCDull;
+    k ^= k >> 33;
+    return k;
+  }
+  void update_min(uint64_t k, int64_t t) {
+    size_t i = mix(k) & mask;
+    while (true) {
+      if (val[i] == INT64_MIN) {
+        key[i] = k;
+        val[i] = t;
+        ++used;
+        return;
+      }
+      if (key[i] == k) {
+        if (val[i] > t) val[i] = t;
+        return;
+      }
+      i = (i + 1) & mask;
+    }
+  }
+};
+
+// per-thread reusable scratch (one lgb_build runs per thread at a time)
+struct Scratch {
+  std::vector<uint8_t> rc_cat, orif, skip, rc_ref;
+  std::vector<int32_t> qbad, nid, vread, vpos;
+  std::vector<const uint8_t*> canon;
+  std::vector<const uint8_t*> rep;
+  FlatNodeMap node_map;
+  FlatU64Map edge_map;
+};
+inline Scratch& scratch() {
+  thread_local Scratch s;
+  return s;
+}
+
 }  // namespace lgb
 
 extern "C" {
@@ -641,23 +740,33 @@ void* lgb_build(const uint8_t* cat, const uint8_t* qcat, int64_t tot,
   uint8_t comp[256];
   lgb::comp_table(comp);
 
+  lgb::Scratch& scr = lgb::scratch();
+
   // reverse complement of the whole concatenated stream: the revcomp of the
   // K-window at offset o is rc_cat[tot - o - K .. tot - o).
-  std::vector<uint8_t> rc_cat(tot);
+  scr.rc_cat.resize(tot);
+  uint8_t* rc_cat = scr.rc_cat.data();
   for (int64_t i = 0; i < tot; ++i) rc_cat[i] = comp[cat[tot - 1 - i]];
 
   // per-mer visit tables ----------------------------------------------------
   int64_t n_mers = 0;
   for (int64_t r = 0; r < n_reads; ++r) n_mers += lens[r] - K + 1;
-  std::vector<int32_t> nid(n_mers);        // node id (first-occurrence order)
-  std::vector<uint8_t> orif(n_mers);       // canonical orientation forward?
-  std::vector<int32_t> vread(n_mers);      // read index
-  std::vector<int32_t> vpos(n_mers);       // mer offset within read
-  std::vector<const uint8_t*> canon(n_mers);
+  scr.nid.resize(n_mers);    // node id (first-occurrence order)
+  scr.orif.resize(n_mers);   // canonical orientation forward?
+  scr.vread.resize(n_mers);  // read index
+  scr.vpos.resize(n_mers);   // mer offset within read
+  scr.canon.resize(n_mers);
+  int32_t* nid = scr.nid.data();
+  uint8_t* orif = scr.orif.data();
+  int32_t* vread = scr.vread.data();
+  int32_t* vpos = scr.vpos.data();
+  const uint8_t** canon = scr.canon.data();
 
   // quality prefix: ok(o) == no byte in qcat[o..o+K] below minq (gap bytes
   // are 0, always below, so cross-read windows self-mask)
-  std::vector<int32_t> qbad(tot + 1, 0);
+  scr.qbad.resize(tot + 1);
+  int32_t* qbad = scr.qbad.data();
+  qbad[0] = 0;
   for (int64_t i = 0; i < tot; ++i)
     qbad[i + 1] = qbad[i] + (qcat[i] < minq ? 1 : 0);
   auto pair_ok_at = [&](int64_t o) {
@@ -665,10 +774,10 @@ void* lgb_build(const uint8_t* cat, const uint8_t* qcat, int64_t tot,
     return qbad[o + K + 1] - qbad[o] == 0;
   };
 
-  std::unordered_map<std::string_view, int32_t, lgb::SvHash> node_of;
-  node_of.reserve((size_t)n_mers * 2);
-  std::vector<const uint8_t*> rep;  // canonical bytes per node
-  rep.reserve(1024);
+  lgb::FlatNodeMap& node_map = scr.node_map;
+  node_map.init((size_t)n_mers);
+  std::vector<const uint8_t*>& rep = scr.rep;  // canonical bytes per node
+  rep.clear();
 
   int64_t g = 0;
   for (int64_t r = 0; r < n_reads; ++r) {
@@ -677,14 +786,29 @@ void* lgb_build(const uint8_t* cat, const uint8_t* qcat, int64_t tot,
     for (int32_t p = 0; p < nm; ++p, ++g) {
       const int64_t o = base + p;
       const uint8_t* fw = cat + o;
-      const uint8_t* rc = rc_cat.data() + (tot - o - K);
+      const uint8_t* rc = rc_cat + (tot - o - K);
       const int c = std::memcmp(fw, rc, K);
       const bool isF = c < 0;  // palindrome (c==0) orients R, like the oracle
       const uint8_t* cn = isF ? fw : rc;
-      auto [it, inserted] = node_of.try_emplace(
-          std::string_view((const char*)cn, K), (int32_t)rep.size());
-      if (inserted) rep.push_back(cn);
-      nid[g] = it->second;
+      const uint64_t h = lgb::hash_bytes(cn, K);
+      size_t slot = h & node_map.mask;
+      int32_t id;
+      while (true) {
+        if (node_map.hash[slot] == 0) {
+          node_map.hash[slot] = h;
+          id = (int32_t)rep.size();
+          node_map.val[slot] = id;
+          rep.push_back(cn);
+          break;
+        }
+        if (node_map.hash[slot] == h &&
+            std::memcmp(rep[node_map.val[slot]], cn, K) == 0) {
+          id = node_map.val[slot];
+          break;
+        }
+        slot = (slot + 1) & node_map.mask;
+      }
+      nid[g] = id;
       orif[g] = isF;
       vread[g] = (int32_t)r;
       vpos[g] = p;
@@ -697,13 +821,15 @@ void* lgb_build(const uint8_t* cat, const uint8_t* qcat, int64_t tot,
   // (mer p non-last) the reference pushes u then v, probes u iff pos==0,
   // then probes v — std::binary_search over the OTHER mate-order's
   // push-ordered (unsorted) vector.
-  std::vector<uint8_t> skip(n_mers, 0);
+  scr.skip.assign(n_mers, 0);
+  uint8_t* skip = scr.skip.data();
   {
-    std::vector<std::vector<std::string_view>> mate1(n_nodes), mate2(n_nodes);
     bool any_paired = false;
     for (int64_t r = 0; r < n_reads; ++r)
       if (order[r] > 0) { any_paired = true; break; }
     if (any_paired) {
+      std::vector<std::vector<std::string_view>> mate1(n_nodes),
+          mate2(n_nodes);
       auto name_of = [&](int32_t r) {
         return std::string_view((const char*)name_blob + name_off[r],
                                 (size_t)(name_off[r + 1] - name_off[r]));
@@ -779,19 +905,26 @@ void* lgb_build(const uint8_t* cat, const uint8_t* qcat, int64_t tot,
   // per-k index covers offsets [0, reflen-K) of the *trimmed* window seq
   // (final mer excluded, Ref.cc:51).
   {
-    std::vector<uint8_t> rc_ref(reflen);
-    for (int64_t i = 0; i < reflen; ++i) rc_ref[i] = comp[refseq[reflen - 1 - i]];
-    std::unordered_set<std::string_view, lgb::SvHash> refset;
+    scr.rc_ref.resize(reflen);
+    uint8_t* rc_ref = scr.rc_ref.data();
+    for (int64_t i = 0; i < reflen; ++i)
+      rc_ref[i] = comp[refseq[reflen - 1 - i]];
     const int64_t nref = reflen - K;  // final mer excluded
     for (int64_t i = 0; i < nref; ++i) {
       const uint8_t* fw = refseq + i;
-      const uint8_t* rc = rc_ref.data() + (reflen - i - K);
+      const uint8_t* rc = rc_ref + (reflen - i - K);
       const uint8_t* cn = std::memcmp(fw, rc, K) < 0 ? fw : rc;
-      refset.insert(std::string_view((const char*)cn, K));
+      const uint64_t h = lgb::hash_bytes(cn, K);
+      size_t slot = h & node_map.mask;
+      while (node_map.hash[slot] != 0) {
+        if (node_map.hash[slot] == h &&
+            std::memcmp(rep[node_map.val[slot]], cn, K) == 0) {
+          flags[node_map.val[slot]] |= lgb::F_INREF;
+          break;
+        }
+        slot = (slot + 1) & node_map.mask;
+      }
     }
-    for (int64_t n = 0; n < n_nodes; ++n)
-      if (refset.count(std::string_view((const char*)rep[n], K)))
-        flags[n] |= lgb::F_INREF;
   }
 
   // prune decision (removeLowCov semantics fused at k-mer stage) ---------
@@ -818,8 +951,8 @@ void* lgb_build(const uint8_t* cat, const uint8_t* qcat, int64_t tot,
   // (src,dst,dir) keeps min time; output = survivors sorted by that time
   // (times are globally distinct, so no tie-break is ever consulted).
   {
-    std::unordered_map<uint64_t, int64_t> emin;
-    emin.reserve((size_t)n_mers * 2);
+    lgb::FlatU64Map& emin = scr.edge_map;
+    emin.init((size_t)n_mers * 2);
     for (int64_t i = 0; i < n_mers; ++i) {
       const int32_t r = vread[i];
       if (vpos[i] == lens[r] - K) continue;
@@ -830,14 +963,13 @@ void* lgb_build(const uint8_t* cat, const uint8_t* qcat, int64_t tot,
       const uint8_t rd = uF ? (vF ? 3 : 1) : (vF ? 2 : 0);
       const uint64_t kf = ((uint64_t)u << 34) | ((uint64_t)v << 2) | fd;
       const uint64_t kr = ((uint64_t)v << 34) | ((uint64_t)u << 2) | rd;
-      auto [itf, insf] = emin.try_emplace(kf, 2 * i);
-      if (!insf && itf->second > 2 * i) itf->second = 2 * i;
-      auto [itr, insr] = emin.try_emplace(kr, 2 * i + 1);
-      if (!insr && itr->second > 2 * i + 1) itr->second = 2 * i + 1;
+      emin.update_min(kf, 2 * i);
+      emin.update_min(kr, 2 * i + 1);
     }
     std::vector<std::pair<int64_t, uint64_t>> es;  // (time, key)
-    es.reserve(emin.size());
-    for (auto& kv : emin) es.emplace_back(kv.second, kv.first);
+    es.reserve(emin.used);
+    for (size_t i = 0; i < emin.val.size(); ++i)
+      if (emin.val[i] != INT64_MIN) es.emplace_back(emin.val[i], emin.key[i]);
     std::sort(es.begin(), es.end());
     out->n_edges = (int64_t)es.size();
     out->esrc = (int32_t*)std::malloc(es.size() * 4);
@@ -944,6 +1076,40 @@ int lsq_is_almost_repeat(const uint8_t* s, int64_t L, int k, int maxmm) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Coarse stage profiling (nanosecond accumulators, summed across worker
+// threads; exported via lsr_stage_ns for the bench breakdown).
+// ---------------------------------------------------------------------------
+
+#include <atomic>
+#include <chrono>
+
+namespace lprof {
+struct StageNs {
+  std::atomic<int64_t> fetch{0}, triage{0}, extract{0}, kloop{0}, scan{0},
+      build{0}, refcov{0}, mat{0}, stages{0}, eka{0};
+  void reset() {
+    fetch = triage = extract = kloop = scan = 0;
+    build = refcov = mat = stages = eka = 0;
+  }
+};
+inline StageNs& get() {
+  static StageNs s;
+  return s;
+}
+struct Timer {
+  std::atomic<int64_t>& acc;
+  std::chrono::steady_clock::time_point t0;
+  explicit Timer(std::atomic<int64_t>& a)
+      : acc(a), t0(std::chrono::steady_clock::now()) {}
+  ~Timer() {
+    acc += std::chrono::duration_cast<std::chrono::nanoseconds>(
+               std::chrono::steady_clock::now() - t0)
+               .count();
+  }
+};
+}  // namespace lprof
 
 // ---------------------------------------------------------------------------
 // Full per-k graph pipeline (host compute plane).
@@ -1747,16 +1913,20 @@ void* lgp_run(const uint8_t* cat, const uint8_t* qcat, int64_t tot,
   auto* res = new lgp::Result();
   lgb::Out* out = nullptr;
   try {
-    out = (lgb::Out*)lgb_build(cat, qcat, tot, n_reads, starts, lens, sample,
-                               strand, order, name_off, name_blob, K, minq,
-                               avgcov, low_cov_threshold, min_cov_ratio,
-                               idxseq, idxlen);
+    {
+      lprof::Timer t(lprof::get().build);
+      out = (lgb::Out*)lgb_build(cat, qcat, tot, n_reads, starts, lens,
+                                 sample, strand, order, name_off, name_blob,
+                                 K, minq, avgcov, low_cov_threshold,
+                                 min_cov_ratio, idxseq, idxlen);
+    }
     const int64_t n_nodes = out->n_nodes;
 
     // reference coverage projection (ref.py compute_coverage, pre-prune
     // node counts; nonzero only where the mer is in the seq-based index)
     res->refcov.assign(4 * rawlen, 0);
     {
+      lprof::Timer t(lprof::get().refcov);
       std::unordered_map<std::string_view, int64_t, lgb::SvHash> node_of;
       node_of.reserve((size_t)n_nodes * 2);
       for (int64_t n = 0; n < n_nodes; ++n)
@@ -1797,6 +1967,7 @@ void* lgp_run(const uint8_t* cat, const uint8_t* qcat, int64_t tot,
     // materialize the node map in creation order, then erase low nodes
     // (reference insert-all-then-removeLowCov sequence; bucket layout of
     // the real libstdc++ unordered_map IS the reference's iteration order)
+    lprof::Timer* mat_t = new lprof::Timer(lprof::get().mat);
     lgp::Graph g;
     g.K = K;
     lgb::comp_table(g.comp);
@@ -1850,8 +2021,10 @@ void* lgp_run(const uint8_t* cat, const uint8_t* qcat, int64_t tot,
     }
     lgb_result_free(out);
     out = nullptr;
+    delete mat_t;
 
     // --- per-component stages (micro.py process_graph inner loop) ---------
+    lprof::Timer stages_t(lprof::get().stages);
     const int numcomp = lgp::mark_connected_components(g);
     for (int c = 1; c <= numcomp; ++c) {
       lgp::mark_ref_ends(g, c, rawseq, rawlen, cov_threshold, *res);
@@ -1876,9 +2049,11 @@ void* lgp_run(const uint8_t* cat, const uint8_t* qcat, int64_t tot,
         res->status = 2;
         return res;
       }
-      if (g.source != nullptr && g.sink != nullptr)
+      if (g.source != nullptr && g.sink != nullptr) {
+        lprof::Timer t(lprof::get().eka);
         lgp::eka(g, g.source, g.sink, lgp::F, rawseq, reflen, dfs_limit,
                  max_indel_len, res->seq_off, res->seq_len, res->trim5, *res);
+      }
     }
     res->status = 0;
     return res;
@@ -2258,6 +2433,9 @@ struct Out {
   std::shared_ptr<std::vector<uint8_t>> raw_keeper;  // window raw bytes
 };
 
+inline lprof::StageNs& stage_ns() { return lprof::get(); }
+using StageTimer = lprof::Timer;
+
 // extraction read record (graph.add_alignment + trim state)
 struct XRead {
   const Rec* rec = nullptr;    // null for the ref pseudo-read
@@ -2574,14 +2752,20 @@ void process_window(const WinInfo& w, const Cfg& cfg,
 
   bool active_t = true, active_n = true;
   if (cfg.active_regions) {
+    StageTimer st(stage_ns().triage);
     active_t = is_active_region(tumor_alns, w, true, cfg, &out);
     active_n = is_active_region(normal_alns, w, false, cfg, nullptr);
   }
   if (active_t || active_n) {
     std::vector<XRead> reads;
-    const bool skip_t = extract_reads(tumor_alns, w, true, cfg, reads, out);
-    const bool skip_n = extract_reads(normal_alns, w, false, cfg, reads, out);
+    bool skip_t, skip_n;
+    {
+      StageTimer st(stage_ns().extract);
+      skip_t = extract_reads(tumor_alns, w, true, cfg, reads, out);
+      skip_n = extract_reads(normal_alns, w, false, cfg, reads, out);
+    }
     if (!skip_t && !skip_n) {
+      StageTimer st(stage_ns().kloop);
       if (!process_graph(w, cfg, reads, gate_row, n_k, win_idx, out)) {
         out.fallback = 1;
         out.jobs.clear();
@@ -2988,6 +3172,7 @@ void* lsr_run(const char* tumor_path, const char* normal_path,
     if (!tok.empty()) cfg.readgroups.push_back(tok);
   }
 
+  lsr::stage_ns().reset();
   BamFile tumor, normal;
   if (!tumor.open(tumor_path) || !normal.open(normal_path)) {
     tumor.bgzf.close();
@@ -3039,6 +3224,7 @@ void* lsr_run(const char* tumor_path, const char* normal_path,
     // load both caches (two reader threads)
     lsr::ChromCache tc, nc;
     {
+      lsr::StageTimer st(lsr::stage_ns().fetch);
       std::thread t1([&] {
         if (rid >= 0) lsr::fetch_recs(tumor, rid, lo, hi, tc.recs);
         tc.build();
@@ -3147,7 +3333,10 @@ void lsr_finish(void* h, const uint8_t* ra_blob, const int64_t* ra_off,
       ra.assign((const char*)w.raw + j->src_off, (size_t)j->ref_dist);
       pa = j->pathseq;
     }
-    lsr::scan_job(*j, o->wins[j->win], ra, pa, o->cfg, o->vars);
+    {
+      lsr::StageTimer st(lsr::stage_ns().scan);
+      lsr::scan_job(*j, o->wins[j->win], ra, pa, o->cfg, o->vars);
+    }
   }
   // pack: int32 win; int64 pos; u8 code,prev_ref,prev_alt,pad; int32 kmer;
   //       int32 l_ref,l_alt,l_str; int32 cov[8]; bytes ref,alt,str
@@ -3180,6 +3369,22 @@ void lsr_finish(void* h, const uint8_t* ra_blob, const int64_t* ra_off,
 long lsr_n_vars(void* h) { return (long)((lsr::Out*)h)->vars.size(); }
 long lsr_varbuf_size(void* h) { return (long)((lsr::Out*)h)->varbuf.size(); }
 const uint8_t* lsr_varbuf(void* h) { return ((lsr::Out*)h)->varbuf.data(); }
+
+// coarse stage nanoseconds: fetch, triage, extract, kloop, scan (summed
+// across worker threads — see StageNs)
+void lsr_stage_ns(int64_t* out10) {
+  auto& s = lsr::stage_ns();
+  out10[0] = s.fetch.load();
+  out10[1] = s.triage.load();
+  out10[2] = s.extract.load();
+  out10[3] = s.kloop.load();
+  out10[4] = s.scan.load();
+  out10[5] = s.build.load();
+  out10[6] = s.refcov.load();
+  out10[7] = s.mat.load();
+  out10[8] = s.stages.load();
+  out10[9] = s.eka.load();
+}
 
 void lsr_free(void* h) { delete (lsr::Out*)h; }
 
