@@ -61,6 +61,7 @@ def _lib():
             lib.lsr_varbuf.argtypes = [ctypes.c_void_p]
             lib.lsr_free.argtypes = [ctypes.c_void_p]
             lib.lsr_stage_ns.argtypes = [i64p]
+            lib.lsr_stage_reset.argtypes = []
             _LSR = lib
         except Exception:
             _LSR = 0
@@ -181,20 +182,68 @@ def run_shards(cfg, windows, tumor, normal, stats: dict | None = None):
     n_threads = max(1, os.cpu_count() or 1)
     cache_span = int(os.environ.get("LANCET_TPU_CACHE_SPAN", 8 << 20))
 
-    t0 = _time.perf_counter()
-    h = lib.lsr_run(
-        cfg.tumor_bam.encode(), cfg.normal_bam.encode(), n,
-        p(refid_t, i32p), p(refid_n, i32p), p(starts, i64p), p(ends, i64p),
-        p(raw_blob, u8p), p(raw_off, i64p),
-        p(gates_arr, u8p) if n_k else ctypes.cast(None, u8p),
-        p(exact_arr, u8p) if n_k else ctypes.cast(None, u8p), n_k,
-        p(icfg, i64p), p(dcfg, f64p), rgs, n_threads, cache_span)
-    try:
-        if lib.lsr_status(h) != STATUS_OK:
-            return None
-        if stats is not None:
-            stats["t_host"] = _time.perf_counter() - t0
+    # Genomic groups for the host/device pipeline: while the device aligns
+    # group g's DP batch (GIL released in jax waits), the next group's
+    # native host stage runs in a background thread (GIL released in
+    # ctypes). Groups are genomically contiguous so each lsr_run call keeps
+    # the shared-cache locality; output indices are global, so reassembly
+    # is order-exact regardless of grouping.
+    order = sorted(range(n), key=lambda i: (int(refid_t[i]), int(starts[i])))
+    group_span = int(os.environ.get(
+        "LANCET_TPU_GROUP_SPAN",
+        max(64 << 10, (int(ends.max()) - int(starts.min())) // 8 + 1
+            if n else 64 << 10)))
+    groups: list[list[int]] = []
+    for i in order:
+        if (groups and int(refid_t[groups[-1][0]]) == int(refid_t[i])
+                and int(ends[i]) - int(starts[groups[-1][0]]) <= group_span):
+            groups[-1].append(i)
+        else:
+            groups.append([i])
 
+    class _NativeFailed(Exception):
+        pass
+
+    def native_stage(idxs):
+        """lsr_run for one group (GIL released during the C++ call)."""
+        g = np.asarray(idxs, np.int64)
+        sub_raw, sub_off = _blob([windows[i].rawseq.encode("latin-1")
+                                  for i in idxs])
+        sub_gates = (np.ascontiguousarray(
+            gates_arr.reshape(n, n_k)[g].reshape(-1)) if n_k
+            else np.zeros(0, np.uint8))
+        sub_exact = exact_arr[g] if n_k else np.zeros(0, np.uint8)
+        rt = np.ascontiguousarray(refid_t[g])
+        rn = np.ascontiguousarray(refid_n[g])
+        st = np.ascontiguousarray(starts[g])
+        en = np.ascontiguousarray(ends[g])
+        h = lib.lsr_run(
+            cfg.tumor_bam.encode(), cfg.normal_bam.encode(), len(idxs),
+            p(rt, i32p), p(rn, i32p), p(st, i64p), p(en, i64p),
+            p(sub_raw, u8p), p(sub_off, i64p),
+            p(sub_gates, u8p) if n_k else ctypes.cast(None, u8p),
+            p(sub_exact, u8p) if n_k else ctypes.cast(None, u8p), n_k,
+            p(icfg, i64p), p(dcfg, f64p), rgs, n_threads, cache_span)
+        return h
+
+    from .variant import Variant
+
+    variants_by_window: dict[int, list] = {}
+    fallback: set[int] = set()
+    cls = np.zeros((n, 9), np.int64)
+    times = np.zeros(n, np.float64)
+    reads = np.zeros(n, np.int64)
+    tot_jobs = 0
+    tot_dp = 0
+    t_host = t_dp = t_fin = 0.0
+    zero3 = (0, 0, 0)
+
+    def dispatch_dp(h, idxs):
+        """Extract DP pairs and enqueue the device fill without blocking
+        (the device computes while the next group's host stage runs)."""
+        nonlocal tot_jobs, tot_dp, t_dp
+        if lib.lsr_status(h) != STATUS_OK:
+            raise _NativeFailed()
         n_jobs = lib.lsr_n_jobs(h)
         meta = np.zeros((n_jobs, 6), np.int64)
         if n_jobs:
@@ -204,21 +253,29 @@ def run_shards(cfg, windows, tumor, normal, stats: dict | None = None):
         t0 = _time.perf_counter()
         pairs = []
         for i in dp_idx:
-            w = windows[int(meta[i, 0])]
+            w = windows[idxs[int(meta[i, 0])]]
             src, dist = int(meta[i, 1]), int(meta[i, 2])
-            refseq = w.rawseq[src : src + dist]
             pathseq = ctypes.string_at(
-                lib.lsr_job_path(h, int(i)), int(meta[i, 3])).decode("latin-1")
-            pairs.append((refseq, pathseq))
-        aligned = []
+                lib.lsr_job_path(h, int(i)), int(meta[i, 3])).decode(
+                "latin-1")
+            pairs.append((w.rawseq[src : src + dist], pathseq))
+        state = None
         if pairs:
-            from ..tpu.align_batch import batch_align
+            from ..tpu.align_batch import batch_align_async
 
-            aligned = batch_align(pairs)
-        if stats is not None:
-            stats["t_dp"] = _time.perf_counter() - t0
-            stats["n_jobs"] = int(n_jobs)
-            stats["n_dp"] = len(pairs)
+            state = batch_align_async(pairs)
+        t_dp += _time.perf_counter() - t0
+        tot_jobs += int(n_jobs)
+        tot_dp += len(pairs)
+        return state
+
+    def finish(h, idxs, dp_state):
+        nonlocal t_dp, t_fin
+        t0 = _time.perf_counter()
+        from ..tpu.align_batch import batch_align_wait
+
+        aligned = batch_align_wait(dp_state)
+        t_dp += _time.perf_counter() - t0
 
         t0 = _time.perf_counter()
         ra_blob, ra_off = _blob([a.encode("latin-1") for a, _ in aligned])
@@ -226,14 +283,9 @@ def run_shards(cfg, windows, tumor, normal, stats: dict | None = None):
         lib.lsr_finish(h, p(ra_blob, u8p), p(ra_off, i64p), p(pa_blob, u8p),
                        p(pa_off, i64p))
 
-        # unpack packed variant records -> per-window Variant lists
-        from .variant import Variant
-
         nv = lib.lsr_varbuf_size(h)
         buf = ctypes.string_at(lib.lsr_varbuf(h), nv) if nv else b""
-        variants_by_window: dict[int, list] = {}
         off = 0
-        zero3 = (0, 0, 0)
         while off < nv:
             (win, pos, code, prev_ref, prev_alt, _pad, kmer, l_ref, l_alt,
              l_str) = struct.unpack_from("<iqBBBBiiii", buf, off)
@@ -245,35 +297,74 @@ def run_shards(cfg, windows, tumor, normal, stats: dict | None = None):
             off += l_alt
             str_tag = buf[off : off + l_str].decode("latin-1")
             off += l_str
+            gwin = idxs[win]
             v = Variant(
-                lr_mode=False, chrom=windows[win].chrom, pos=pos,
+                lr_mode=False, chrom=windows[gwin].chrom, pos=pos,
                 ref_str=ref, alt_str=alt,
                 rcn=(cov[0], cov[1]), rct=(cov[2], cov[3]),
                 acn=(cov[4], cov[5]), act=(cov[6], cov[7]),
                 hprn=zero3, hprt=zero3, hpan=zero3, hpat=zero3,
                 prev_bp_ref=chr(prev_ref), prev_bp_alt=chr(prev_alt),
                 kmer=kmer, str_tag=str_tag, code=chr(code))
-            variants_by_window.setdefault(win, []).append(v)
+            variants_by_window.setdefault(gwin, []).append(v)
 
-        flags = np.zeros(n, np.uint8)
-        reads = np.zeros(n, np.int64)
-        times = np.zeros(n, np.float64)
-        cls = np.zeros((n, 9), np.int64)
-        lib.lsr_win_out(h, p(flags, u8p), p(reads, i64p), p(times, f64p),
-                        p(cls.reshape(-1), i64p))
-        fallback = set(int(i) for i in np.nonzero(flags)[0])
-        if stats is not None:
-            stats["t_finish"] = _time.perf_counter() - t0
+        m = len(idxs)
+        gflags = np.zeros(m, np.uint8)
+        greads = np.zeros(m, np.int64)
+        gtimes = np.zeros(m, np.float64)
+        gcls = np.zeros((m, 9), np.int64)
+        lib.lsr_win_out(h, p(gflags, u8p), p(greads, i64p), p(gtimes, f64p),
+                        p(gcls.reshape(-1), i64p))
+        ga = np.asarray(idxs, np.int64)
+        cls[ga] = gcls
+        times[ga] = gtimes
+        reads[ga] = greads
+        for li in np.nonzero(gflags)[0]:
+            fallback.add(int(idxs[int(li)]))
+        t_fin += _time.perf_counter() - t0
 
-        if stats is not None:
-            ns = np.zeros(10, np.int64)
-            lib.lsr_stage_ns(p(ns, i64p))
-            for k, v in zip(("t_c_fetch", "t_c_triage", "t_c_extract",
-                             "t_c_kloop", "t_c_scan", "t_c_build",
-                             "t_c_refcov", "t_c_mat", "t_c_stages",
-                             "t_c_eka"), ns):
-                stats[k] = float(v) / 1e9
-        return ShardRunResult(variants_by_window, fallback, cls, times,
-                              reads, int(n_jobs), len(pairs))
-    finally:
-        lib.lsr_free(h)
+    import concurrent.futures as _cf
+
+    handles: list = []
+    try:
+        lib.lsr_stage_reset()
+        t_all = _time.perf_counter()
+        with _cf.ThreadPoolExecutor(max_workers=1) as ex:
+            fut = ex.submit(native_stage, groups[0]) if groups else None
+            pending = []  # (handle, idxs, dp_state): device DP in flight
+            for gi in range(len(groups)):
+                t0 = _time.perf_counter()
+                h = fut.result()
+                handles.append(h)
+                t_host += _time.perf_counter() - t0
+                if gi + 1 < len(groups):
+                    fut = ex.submit(native_stage, groups[gi + 1])
+                # enqueue this group's DP; the device drains the queue
+                # while later groups' host stages run
+                pending.append((h, groups[gi], dispatch_dp(h, groups[gi])))
+            for h, idxs, dp_state in pending:
+                finish(h, idxs, dp_state)
+                handles.remove(h)
+                lib.lsr_free(h)
+    except _NativeFailed:
+        for h in handles:
+            lib.lsr_free(h)
+        return None
+
+    if stats is not None:
+        stats["t_host"] = t_host  # blocked-on-native time (overlap hides it)
+        stats["t_pipeline"] = _time.perf_counter() - t_all
+        stats["t_dp"] = t_dp
+        stats["t_finish"] = t_fin
+        stats["n_jobs"] = tot_jobs
+        stats["n_dp"] = tot_dp
+        stats["n_groups"] = len(groups)
+        ns = np.zeros(10, np.int64)
+        lib.lsr_stage_ns(p(ns, i64p))
+        for k, v in zip(("t_c_fetch", "t_c_triage", "t_c_extract",
+                         "t_c_kloop", "t_c_scan", "t_c_build",
+                         "t_c_refcov", "t_c_mat", "t_c_stages",
+                         "t_c_eka"), ns):
+            stats[k] = float(v) / 1e9
+    return ShardRunResult(variants_by_window, fallback, cls, times,
+                          reads, tot_jobs, tot_dp)

@@ -3172,7 +3172,6 @@ void* lsr_run(const char* tumor_path, const char* normal_path,
     if (!tok.empty()) cfg.readgroups.push_back(tok);
   }
 
-  lsr::stage_ns().reset();
   BamFile tumor, normal;
   if (!tumor.open(tumor_path) || !normal.open(normal_path)) {
     tumor.bgzf.close();
@@ -3372,6 +3371,8 @@ const uint8_t* lsr_varbuf(void* h) { return ((lsr::Out*)h)->varbuf.data(); }
 
 // coarse stage nanoseconds: fetch, triage, extract, kloop, scan (summed
 // across worker threads — see StageNs)
+void lsr_stage_reset() { lsr::stage_ns().reset(); }
+
 void lsr_stage_ns(int64_t* out10) {
   auto& s = lsr::stage_ns();
   out10[0] = s.fetch.load();

@@ -192,11 +192,12 @@ def _decode(ops_rev: np.ndarray, k: int, S: str, T: str) -> tuple[str, str]:
             t_chars.tobytes().decode("latin-1"))
 
 
-def batch_align(pairs: list[tuple[str, str]]) -> list[tuple[str, str]]:
-    """Align [(S, T), ...] with global affine Gotoh; returns aligned string
-    pairs identical to engine.align.global_align_aff."""
+def batch_align_async(pairs: list[tuple[str, str]]):
+    """Dispatch the device DP for [(S, T), ...] without blocking (jax async
+    dispatch): returns an opaque state for batch_align_wait. Lets callers
+    overlap device alignment with host work."""
     if not pairs:
-        return []
+        return None
     P = len(pairs)
     # 128-multiple buckets: Mosaic lane alignment with minimal padded DP
     # area (pow2 buckets nearly doubled the work at ~1100bp windows)
@@ -224,10 +225,24 @@ def batch_align(pairs: list[tuple[str, str]]) -> list[tuple[str, str]]:
     ops, counts = _dp_and_traceback(jnp.asarray(S), jnp.asarray(T),
                                     jnp.asarray(n_len), jnp.asarray(m_len),
                                     N, M, _use_pallas())
+    return ops, counts, pairs
+
+
+def batch_align_wait(state) -> list[tuple[str, str]]:
+    """Block on a batch_align_async dispatch and decode the alignments."""
+    if state is None:
+        return []
+    ops, counts, pairs = state
     ops = np.asarray(ops)
     counts = np.asarray(counts)
     return [_decode(ops[p], int(counts[p]), s, t)
             for p, (s, t) in enumerate(pairs)]
+
+
+def batch_align(pairs: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """Align [(S, T), ...] with global affine Gotoh; returns aligned string
+    pairs identical to engine.align.global_align_aff."""
+    return batch_align_wait(batch_align_async(pairs))
 
 
 def _traceback(tbs: np.ndarray, p: int, S: str, T: str) -> tuple[str, str]:
