@@ -359,12 +359,13 @@ def run_shards(cfg, windows, tumor, normal, stats: dict | None = None):
         stats["n_jobs"] = tot_jobs
         stats["n_dp"] = tot_dp
         stats["n_groups"] = len(groups)
-        ns = np.zeros(10, np.int64)
+        ns = np.zeros(16, np.int64)
         lib.lsr_stage_ns(p(ns, i64p))
         for k, v in zip(("t_c_fetch", "t_c_triage", "t_c_extract",
                          "t_c_kloop", "t_c_scan", "t_c_build",
                          "t_c_refcov", "t_c_mat", "t_c_stages",
-                         "t_c_eka"), ns):
+                         "t_c_eka", "t_c_comps", "t_c_refends", "t_c_cyc",
+                         "t_c_compress", "t_c_cleanup", "t_c_findrep"), ns):
             stats[k] = float(v) / 1e9
     return ShardRunResult(variants_by_window, fallback, cls, times,
                           reads, tot_jobs, tot_dp)

@@ -709,15 +709,72 @@ struct FlatU64Map {
   }
 };
 
+inline uint64_t mix64(uint64_t k) {
+  k ^= k >> 33;
+  k *= 0xFF51AFD7ED558CCDull;
+  k ^= k >> 33;
+  k *= 0xC4CEB9FE1A85EC53ull;
+  k ^= k >> 33;
+  return k;
+}
+
+// 2-bit base codes (A=0 C=1 G=2 T=3; 4 = anything else). The 2-bit
+// big-endian packing of a window preserves byte-lexicographic order, so
+// packed-integer compare == memcmp for clean (all-ACGT) windows.
+inline const uint8_t* code2_table() {
+  static const auto t = [] {
+    static uint8_t a[256];
+    std::memset(a, 4, 256);
+    a[(uint8_t)'A'] = 0;
+    a[(uint8_t)'C'] = 1;
+    a[(uint8_t)'G'] = 2;
+    a[(uint8_t)'T'] = 3;
+    return a;
+  }();
+  return t;
+}
+
 // per-thread reusable scratch (one lgb_build runs per thread at a time)
 struct Scratch {
   std::vector<uint8_t> rc_cat, orif, skip, rc_ref;
-  std::vector<int32_t> qbad, nid, vread, vpos;
+  std::vector<int32_t> qbad, nid, vread, vpos, badp;
   std::vector<const uint8_t*> canon;
   std::vector<const uint8_t*> rep;
   FlatNodeMap node_map;
   FlatU64Map edge_map;
+  int lookup_k = 0;  // K of the last build (scratch_lookup validity)
 };
+
+// Probe the last build's node table (same thread) for a canonical mer;
+// -1 when absent. `h` must come from scratch_hash below.
+inline int32_t scratch_lookup(Scratch& scr, const uint8_t* cn, int K,
+                              uint64_t h) {
+  size_t slot = h & scr.node_map.mask;
+  while (scr.node_map.hash[slot] != 0) {
+    if (scr.node_map.hash[slot] == h &&
+        std::memcmp(scr.rep[scr.node_map.val[slot]], cn, K) == 0)
+      return scr.node_map.val[slot];
+    slot = (slot + 1) & scr.node_map.mask;
+  }
+  return -1;
+}
+
+// Hash a canonical mer with the same class rule the build used: clean
+// (all-ACGT) windows hash their 2-bit packing, dirty windows hash bytes.
+inline uint64_t scratch_hash(const uint8_t* cn, int K) {
+  if (K <= 31) {
+    const uint8_t* code2 = code2_table();
+    uint64_t v = 0;
+    bool clean = true;
+    for (int j = 0; j < K; ++j) {
+      const uint8_t c = code2[cn[j]];
+      clean &= c < 4;
+      v = (v << 2) | (c & 3);
+    }
+    if (clean) return mix64(v) | 1;
+  }
+  return hash_bytes(cn, K);
+}
 inline Scratch& scratch() {
   thread_local Scratch s;
   return s;
@@ -778,19 +835,59 @@ void* lgb_build(const uint8_t* cat, const uint8_t* qcat, int64_t tot,
   node_map.init((size_t)n_mers);
   std::vector<const uint8_t*>& rep = scr.rep;  // canonical bytes per node
   rep.clear();
+  scr.lookup_k = K;
+
+  // non-ACGT prefix over the concatenated stream (gap bytes count, so
+  // cross-read windows are always "dirty" — they never occur as visits)
+  const uint8_t* code2 = lgb::code2_table();
+  const bool packable = K <= 31;
+  scr.badp.resize(tot + 1);
+  int32_t* badp = scr.badp.data();
+  if (packable) {
+    badp[0] = 0;
+    for (int64_t i = 0; i < tot; ++i)
+      badp[i + 1] = badp[i] + (code2[cat[i]] >= 4 ? 1 : 0);
+  }
+  const uint64_t mask2k =
+      (K < 32) ? ((1ull << (2 * K)) - 1) : ~0ull;
+  const int shift_hi = 2 * (K - 1);
 
   int64_t g = 0;
   for (int64_t r = 0; r < n_reads; ++r) {
     const int32_t nm = lens[r] - K + 1;
     const int64_t base = starts[r];
+    uint64_t fw2 = 0, rc2 = 0;
+    if (packable) {
+      for (int j = 0; j < K - 1; ++j) {
+        const uint8_t c = code2[cat[base + j]] & 3;
+        fw2 = ((fw2 << 2) | c) & mask2k;
+        rc2 = (rc2 >> 2) | ((uint64_t)(3 - c) << shift_hi);
+      }
+    }
     for (int32_t p = 0; p < nm; ++p, ++g) {
       const int64_t o = base + p;
       const uint8_t* fw = cat + o;
       const uint8_t* rc = rc_cat + (tot - o - K);
-      const int c = std::memcmp(fw, rc, K);
-      const bool isF = c < 0;  // palindrome (c==0) orients R, like the oracle
-      const uint8_t* cn = isF ? fw : rc;
-      const uint64_t h = lgb::hash_bytes(cn, K);
+      bool isF;
+      const uint8_t* cn;
+      uint64_t h;
+      if (packable) {
+        const uint8_t c = code2[cat[o + K - 1]] & 3;
+        fw2 = ((fw2 << 2) | c) & mask2k;
+        rc2 = (rc2 >> 2) | ((uint64_t)(3 - c) << shift_hi);
+      }
+      if (packable && badp[o + K] - badp[o] == 0) {
+        // clean window: packed compare == memcmp (order-preserving codes);
+        // palindrome (fw2 == rc2) orients R like the oracle
+        isF = fw2 < rc2;
+        cn = isF ? fw : rc;
+        h = lgb::mix64(isF ? fw2 : rc2) | 1;
+      } else {
+        const int c = std::memcmp(fw, rc, K);
+        isF = c < 0;
+        cn = isF ? fw : rc;
+        h = lgb::hash_bytes(cn, K);
+      }
       size_t slot = h & node_map.mask;
       int32_t id;
       while (true) {
@@ -914,16 +1011,9 @@ void* lgb_build(const uint8_t* cat, const uint8_t* qcat, int64_t tot,
       const uint8_t* fw = refseq + i;
       const uint8_t* rc = rc_ref + (reflen - i - K);
       const uint8_t* cn = std::memcmp(fw, rc, K) < 0 ? fw : rc;
-      const uint64_t h = lgb::hash_bytes(cn, K);
-      size_t slot = h & node_map.mask;
-      while (node_map.hash[slot] != 0) {
-        if (node_map.hash[slot] == h &&
-            std::memcmp(rep[node_map.val[slot]], cn, K) == 0) {
-          flags[node_map.val[slot]] |= lgb::F_INREF;
-          break;
-        }
-        slot = (slot + 1) & node_map.mask;
-      }
+      const int32_t id = lgb::scratch_lookup(scr, cn, K,
+                                             lgb::scratch_hash(cn, K));
+      if (id >= 0) flags[id] |= lgb::F_INREF;
     }
   }
 
@@ -1058,18 +1148,24 @@ int lsq_is_almost_repeat(const uint8_t* s, int64_t L, int k, int maxmm) {
     }
     return true;
   };
-  std::unordered_map<std::string_view, std::vector<int32_t>, lgb::SvHash>
-      buckets;
-  buckets.reserve((size_t)(maxp + 1) * 2);
+  // flat chained hash buckets (thread-local scratch): positions whose
+  // aligned chunk hashes equally share a chain. Hash collisions only add
+  // candidates — verify() is exact — so no key equality check is needed.
+  thread_local std::vector<int32_t> head, nxt;
+  size_t cap = 16;
+  while (cap < (size_t)(maxp + 1) * 2) cap <<= 1;
+  const uint64_t mask = cap - 1;
+  nxt.resize(maxp + 1);
   for (int t = 0; t < parts; ++t) {
     const int ot = (int)((int64_t)w * t / parts);
     const int lt = (int)((int64_t)w * (t + 1) / parts) - ot;
-    buckets.clear();
+    head.assign(cap, 0);  // 0 = empty; chain stores p+1
     for (int64_t p = 0; p <= maxp; ++p) {
-      auto& v = buckets[std::string_view((const char*)s + p + ot, lt)];
-      for (int32_t q : v)
-        if (verify(q, p)) return 1;
-      v.push_back((int32_t)p);
+      const size_t slot = lgb::hash_bytes(s + p + ot, lt) & mask;
+      for (int32_t q = head[slot]; q != 0; q = nxt[q - 1])
+        if (verify(q - 1, p)) return 1;
+      nxt[p] = head[slot];
+      head[slot] = (int32_t)(p + 1);
     }
   }
   return 0;
@@ -1088,10 +1184,12 @@ int lsq_is_almost_repeat(const uint8_t* s, int64_t L, int k, int maxmm) {
 namespace lprof {
 struct StageNs {
   std::atomic<int64_t> fetch{0}, triage{0}, extract{0}, kloop{0}, scan{0},
-      build{0}, refcov{0}, mat{0}, stages{0}, eka{0};
+      build{0}, refcov{0}, mat{0}, stages{0}, eka{0}, comps{0}, refends{0},
+      cyc{0}, compress{0}, cleanup{0}, findrep{0};
   void reset() {
     fetch = triage = extract = kloop = scan = 0;
     build = refcov = mat = stages = eka = 0;
+    comps = refends = cyc = compress = cleanup = findrep = 0;
   }
 };
 inline StageNs& get() {
@@ -1354,12 +1452,33 @@ void mark_ref_ends(Graph& g, int compid, const uint8_t* rawseq,
   g.sink = nullptr;
   const std::string raw((const char*)rawseq, (size_t)rawlen);
 
+  // alloc-free canonical scans: whole-window rc hoisted, reusable key
+  // buffer (canonical() semantics preserved: palindrome -> R side)
+  const std::string rcraw = g.rc(raw);
+  std::string key(K, '\0');
+  auto canon_at = [&](int64_t off, Dir* ori) -> const std::string& {
+    const char* fw = raw.data() + off;
+    const char* rv = rcraw.data() + (rawlen - off - K);
+    const int c = std::memcmp(fw, rv, K);
+    if (c < 0) {
+      *ori = F;
+      key.assign(fw, K);
+    } else {
+      *ori = R;
+      key.assign(rv, K);
+    }
+    return key;
+  };
+
   GN* source_node = nullptr;
   std::string source_mer;
   Dir source_ori = F;
   int64_t source_offset = -1;
-  for (int64_t off = 0; off < rawlen; ++off) {
-    auto [cmer, ori] = g.canonical(raw.substr(off, K));
+  // offsets past rawlen-K gave sub-K substrings before — those lookups
+  // can never match a K-length node id, so the clamp is behavior-equal
+  for (int64_t off = 0; off + K <= rawlen; ++off) {
+    Dir ori;
+    const std::string& cmer = canon_at(off, &ori);
     GN* cand = g.get(cmer);
     if (cand && cand->tot_cov() >= cov_threshold &&
         cand->component == compid) {
@@ -1380,7 +1499,8 @@ void mark_ref_ends(Graph& g, int compid, const uint8_t* rawseq,
   Dir sink_ori = F;
   int64_t sink_offset = -1;
   for (int64_t off = rawlen - K; off >= 0; --off) {
-    auto [cmer, ori] = g.canonical(raw.substr(off, K));
+    Dir ori;
+    const std::string& cmer = canon_at(off, &ori);
     GN* cand = g.get(cmer);
     if (cand && cand->tot_cov() >= cov_threshold &&
         cand->component == compid) {
@@ -1519,24 +1639,52 @@ void compress_node(Graph& g, GN* node, Dir d) {
 
     merged = true;
     const bool dest_r = ed_dest(edir) == R;
-    const std::string bstr = dest_r ? g.rc(buddy->str) : buddy->str;
-    const std::vector<int32_t> bcov_t =
-        dest_r ? rev_rows(buddy->covT) : buddy->covT;
-    const std::vector<int32_t> bcov_n =
-        dest_r ? rev_rows(buddy->covN) : buddy->covN;
+    const std::string& B = buddy->str;
+    const int64_t blen = (int64_t)B.size();
+    const int64_t seg = blen - K + 1;  // segment rows/chars appended
+
+    // The four (d, dest_r) cases of the reference's
+    // substr/rc/rev_rows chains each reduce to one slice pass:
+    //   d==F !dest_r : B[K-1..)            rows [K-1..L) fwd
+    //   d==F  dest_r : rc(B[0..seg))       rows [0..seg) reversed
+    //   d==R !dest_r : rc(B[K-1..))        rows [K-1..L) reversed
+    //   d==R  dest_r : B[0..seg)           rows [0..seg) fwd
+    std::string sstr;
+    sstr.resize(seg);
+    const bool lo_slice = dest_r;  // slice [0..seg) vs [K-1..blen)
+    const bool rc_it = (d == R) != dest_r;
+    if (rc_it) {
+      const char* src = lo_slice ? B.data() : B.data() + K - 1;
+      for (int64_t i = 0; i < seg; ++i)
+        sstr[i] = (char)g.comp[(uint8_t)src[seg - 1 - i]];
+    } else {
+      std::memcpy(sstr.data(), lo_slice ? B.data() : B.data() + K - 1, seg);
+    }
+    auto slice_rows = [&](const std::vector<int32_t>& X) {
+      std::vector<int32_t> out((size_t)seg * 4);
+      const int64_t row0 = lo_slice ? 0 : K - 1;
+      if (rc_it) {
+        for (int64_t i = 0; i < seg; ++i)
+          for (int c = 0; c < 4; ++c)
+            out[i * 4 + c] = X[(row0 + seg - 1 - i) * 4 + c];
+      } else {
+        std::memcpy(out.data(), X.data() + row0 * 4, (size_t)seg * 16);
+      }
+      return out;
+    };
 
     const int64_t amerlen = cur_len - K + 1;
-    const int64_t bmerlen = (int64_t)bstr.size() - K + 1;
+    const int64_t bmerlen = seg;
 
     if (d == R) {
       // reversed segment prepends (graph.py dir==R dance)
-      str_segs.push_front(g.rc(bstr.substr(K - 1)));
-      cov_segs_t.push_front(rev_rows(rows_from(bcov_t, K - 1)));
-      cov_segs_n.push_front(rev_rows(rows_from(bcov_n, K - 1)));
+      str_segs.push_front(std::move(sstr));
+      cov_segs_t.push_front(slice_rows(buddy->covT));
+      cov_segs_n.push_front(slice_rows(buddy->covN));
     } else {
-      str_segs.push_back(bstr.substr(K - 1));
-      cov_segs_t.push_back(rows_from(bcov_t, K - 1));
-      cov_segs_n.push_back(rows_from(bcov_n, K - 1));
+      str_segs.push_back(std::move(sstr));
+      cov_segs_t.push_back(slice_rows(buddy->covT));
+      cov_segs_n.push_back(slice_rows(buddy->covN));
     }
     status_tail.push_back(buddy->status.substr(K - 1));
 
@@ -1546,7 +1694,7 @@ void compress_node(Graph& g, GN* node, Dir d) {
     node->ctr = (node->ctr * amerlen + buddy->ctr * bmerlen) / tot;
     node->cnr = (node->cnr * amerlen + buddy->cnr * bmerlen) / tot;
 
-    cur_len = cur_len + (int64_t)bstr.size() - K + 1;
+    cur_len = cur_len + blen - K + 1;
 
     buddy->dead = true;
     if (buddy->is_ref) node->is_ref = true;
@@ -1923,15 +2071,13 @@ void* lgp_run(const uint8_t* cat, const uint8_t* qcat, int64_t tot,
     const int64_t n_nodes = out->n_nodes;
 
     // reference coverage projection (ref.py compute_coverage, pre-prune
-    // node counts; nonzero only where the mer is in the seq-based index)
+    // node counts; nonzero only where the mer is in the seq-based index).
+    // Probes the build's thread-local node table (same thread, still
+    // valid) instead of constructing a fresh map over all nodes.
     res->refcov.assign(4 * rawlen, 0);
     {
       lprof::Timer t(lprof::get().refcov);
-      std::unordered_map<std::string_view, int64_t, lgb::SvHash> node_of;
-      node_of.reserve((size_t)n_nodes * 2);
-      for (int64_t n = 0; n < n_nodes; ++n)
-        node_of.emplace(
-            std::string_view((const char*)out->mers + n * K, K), n);
+      lgb::Scratch& scr = lgb::scratch();
       uint8_t comp[256];
       lgb::comp_table(comp);
       std::vector<uint8_t> rc_raw(rawlen);
@@ -1943,9 +2089,10 @@ void* lgp_run(const uint8_t* cat, const uint8_t* qcat, int64_t tot,
         const uint8_t* rc = rc_raw.data() + (rawlen - i - K);
         const uint8_t* cn = std::memcmp(fw, rc, K) < 0 ? fw : rc;
         int32_t vals[4] = {0, 0, 0, 0};
-        auto it = node_of.find(std::string_view((const char*)cn, K));
-        if (it != node_of.end()) {
-          const int64_t n = it->second;
+        const int32_t nlk = lgb::scratch_lookup(scr, cn, K,
+                                                lgb::scratch_hash(cn, K));
+        if (nlk >= 0) {
+          const int64_t n = nlk;
           const uint8_t fl = out->flags[n];
           if (fl & lgb::F_INREF) {
             if (fl & lgb::F_SEENF_T) vals[0] = out->cov[n * 4 + 0];
@@ -2025,29 +2172,51 @@ void* lgp_run(const uint8_t* cat, const uint8_t* qcat, int64_t tot,
 
     // --- per-component stages (micro.py process_graph inner loop) ---------
     lprof::Timer stages_t(lprof::get().stages);
-    const int numcomp = lgp::mark_connected_components(g);
+    int numcomp;
+    {
+      lprof::Timer t(lprof::get().comps);
+      numcomp = lgp::mark_connected_components(g);
+    }
     for (int c = 1; c <= numcomp; ++c) {
-      lgp::mark_ref_ends(g, c, rawseq, rawlen, cov_threshold, *res);
-      if (lgp::has_cycle(g)) {
-        res->status = 1;
-        return res;
+      {
+        lprof::Timer t(lprof::get().refends);
+        lgp::mark_ref_ends(g, c, rawseq, rawlen, cov_threshold, *res);
       }
-      lgp::compress(g, c);
-      lgp::remove_low_cov(g, true, c, avgcov, low_cov_threshold,
-                          min_cov_ratio);
-      lgp::remove_tips(g, c, max_tip_len);
-      lgp::remove_short_links(g, c, max_link_len, avgcov, max_unit_len,
-                              min_report_units, min_report_len,
-                              dist_from_str);
+      {
+        lprof::Timer t(lprof::get().cyc);
+        if (lgp::has_cycle(g)) {
+          res->status = 1;
+          return res;
+        }
+      }
+      {
+        lprof::Timer t(lprof::get().compress);
+        lgp::compress(g, c);
+      }
+      {
+        lprof::Timer t(lprof::get().cleanup);
+        lgp::remove_low_cov(g, true, c, avgcov, low_cov_threshold,
+                            min_cov_ratio);
+        lgp::remove_tips(g, c, max_tip_len);
+        lgp::remove_short_links(g, c, max_link_len, avgcov, max_unit_len,
+                                min_report_units, min_report_len,
+                                dist_from_str);
+      }
       const int64_t reflen = res->seq_set ? res->seq_len : idxlen;
-      if (lgp::has_cycle(g)) {
-        res->status = 1;
-        return res;
+      {
+        lprof::Timer t(lprof::get().cyc);
+        if (lgp::has_cycle(g)) {
+          res->status = 1;
+          return res;
+        }
       }
-      if (lgp::find_repeats_in_graph_paths(g, K, max_mismatch, reflen,
-                                           dfs_limit, max_indel_len)) {
-        res->status = 2;
-        return res;
+      {
+        lprof::Timer t(lprof::get().findrep);
+        if (lgp::find_repeats_in_graph_paths(g, K, max_mismatch, reflen,
+                                             dfs_limit, max_indel_len)) {
+          res->status = 2;
+          return res;
+        }
       }
       if (g.source != nullptr && g.sink != nullptr) {
         lprof::Timer t(lprof::get().eka);
@@ -3373,18 +3542,24 @@ const uint8_t* lsr_varbuf(void* h) { return ((lsr::Out*)h)->varbuf.data(); }
 // across worker threads — see StageNs)
 void lsr_stage_reset() { lsr::stage_ns().reset(); }
 
-void lsr_stage_ns(int64_t* out10) {
+void lsr_stage_ns(int64_t* out16) {
   auto& s = lsr::stage_ns();
-  out10[0] = s.fetch.load();
-  out10[1] = s.triage.load();
-  out10[2] = s.extract.load();
-  out10[3] = s.kloop.load();
-  out10[4] = s.scan.load();
-  out10[5] = s.build.load();
-  out10[6] = s.refcov.load();
-  out10[7] = s.mat.load();
-  out10[8] = s.stages.load();
-  out10[9] = s.eka.load();
+  out16[0] = s.fetch.load();
+  out16[1] = s.triage.load();
+  out16[2] = s.extract.load();
+  out16[3] = s.kloop.load();
+  out16[4] = s.scan.load();
+  out16[5] = s.build.load();
+  out16[6] = s.refcov.load();
+  out16[7] = s.mat.load();
+  out16[8] = s.stages.load();
+  out16[9] = s.eka.load();
+  out16[10] = s.comps.load();
+  out16[11] = s.refends.load();
+  out16[12] = s.cyc.load();
+  out16[13] = s.compress.load();
+  out16[14] = s.cleanup.load();
+  out16[15] = s.findrep.load();
 }
 
 void lsr_free(void* h) { delete (lsr::Out*)h; }
