@@ -95,10 +95,13 @@ class ShardRunResult:
         self.n_dp = n_dp
 
 
-def run_shards(cfg, windows, tumor, normal, stats: dict | None = None):
+def run_shards(cfg, windows, tumor, normal, stats: dict | None = None,
+               mesh=None):
     """Run every window natively. `windows` is the full ordered list
     (shard-concatenated, lexicographic within shard) — the VariantDB add
     order. `tumor`/`normal` are open readers (for refid lookup only).
+    `mesh`, if given, shards the device DP batches over that
+    jax.sharding.Mesh (parallel.mesh.mesh_batch_align_async).
     Returns ShardRunResult or None when the native plane is unavailable.
     """
     import time as _time
@@ -261,9 +264,14 @@ def run_shards(cfg, windows, tumor, normal, stats: dict | None = None):
             pairs.append((w.rawseq[src : src + dist], pathseq))
         state = None
         if pairs:
-            from ..tpu.align_batch import batch_align_async
+            if mesh is not None:
+                from ..parallel.mesh import mesh_batch_align_async
 
-            state = batch_align_async(pairs)
+                state = mesh_batch_align_async(pairs, mesh)
+            else:
+                from ..tpu.align_batch import batch_align_async
+
+                state = batch_align_async(pairs)
         t_dp += _time.perf_counter() - t0
         tot_jobs += int(n_jobs)
         tot_dp += len(pairs)

@@ -96,7 +96,7 @@ def _process_shard(ma, cfg, shard, shard_idx, resume_state) -> None:
 
 def run(cfg: Config, command_line: str = "lancet-tpu", date: str | None = None,
         engine: str = "oracle", processes: bool = False,
-        stats: dict | None = None) -> str:
+        stats: dict | None = None, mesh=None) -> str:
     """Run the caller; returns the VCF text. `processes=True` fans shards
     out to a process pool (host parallelism; device work still batches
     per shard). `stats`, if given, is filled with per-stage wall seconds
@@ -181,7 +181,8 @@ def run(cfg: Config, command_line: str = "lancet-tpu", date: str | None = None,
             sw = sorted(shard, key=lambda w: w.name)
             ordered.extend(sw)
             shard_of.extend([si] * len(sw))
-        res = run_shards(cfg_eff, ordered, tumor, normal, stats=stats)
+        res = run_shards(cfg_eff, ordered, tumor, normal, stats=stats,
+                         mesh=mesh)
         if res is not None:
             from .engine.micro import ShardCounters
 

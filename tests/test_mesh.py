@@ -104,3 +104,30 @@ def test_sharded_step_matches_oracle_scores():
         s = "".join(chr(c) for c in S[p, 1:n_len[p]+1])
         t = "".join(chr(c) for c in T[p, 1:m_len[p]+1])
         assert sc[p] == _dp_score(s, t), p
+
+
+@pytest.mark.parametrize("ndev", [2, 8])
+def test_vcf_device_count_invariant(tmp_path, ndev):
+    """The full pipeline's VCF must not depend on the mesh size — the TPU
+    analog of the reference's thread-count-invariant output
+    (Lancet.cc:305-310, 938-959). Runs windows -> VCF with the device DP
+    sharded over 1 vs `ndev` virtual devices."""
+    from test_shardrun import _mixed_corpus
+
+    from lancet_tpu.config import Config
+    from lancet_tpu.parallel.mesh import make_mesh
+    from lancet_tpu.runner import run
+
+    chrom_len = _mixed_corpus(tmp_path, seed=21, chrom_len=9000)
+    cfg = Config(tumor_bam=f"{tmp_path}/tumor.bam",
+                 normal_bam=f"{tmp_path}/normal.bam",
+                 ref_fasta=f"{tmp_path}/ref.fa",
+                 region=f"chr1:300-{chrom_len - 300}", num_threads=3)
+    vcf_1 = run(cfg, command_line="t", date="D\n", engine="tpu",
+                mesh=make_mesh(1))
+    vcf_n = run(cfg, command_line="t", date="D\n", engine="tpu",
+                mesh=make_mesh(ndev))
+    vcf_plain = run(cfg, command_line="t", date="D\n", engine="tpu")
+    assert vcf_1 == vcf_n
+    assert vcf_plain == vcf_n
+    assert sum(1 for l in vcf_n.splitlines() if not l.startswith("#")) > 0
