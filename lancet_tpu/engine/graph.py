@@ -8,6 +8,7 @@ as batched kernels and is validated against this module.
 
 from __future__ import annotations
 
+import sys
 from collections import deque
 from dataclasses import dataclass, field
 
@@ -336,6 +337,39 @@ class Graph:
 
         self.ref.compute_coverage(TMR)
         self.ref.compute_coverage(NML)
+
+    # ------------------------------------------------------------------
+    # read-start audit (ref: Graph.cc:3388-3450, called per component at
+    # Microassembler.cc:181): every readstart record must still point at
+    # the k-mer of its read — compare the read's k-mer at trim5 against
+    # the node k-mer at the recorded offset (revcomp'd for R orientation).
+    # Returns (bad, all) so callers/tests can assert bad == 0.
+    # ------------------------------------------------------------------
+    def check_read_starts(self, compid: int) -> tuple[int, int]:
+        nbad = 0
+        nall = 0
+        K = self.K
+        for node in self.node_iter():
+            if node.component != compid:
+                continue
+            for readid, nodeoffset, trim5, ori in node.readstarts:
+                info = self.readid2info[readid]
+                rkmer = info.seq[trim5 : trim5 + K]
+                nall += 1
+                if ori == R:
+                    ckmer = rc_str(node.str_m[nodeoffset - K + 1 : nodeoffset + 1])
+                else:
+                    ckmer = node.str_m[nodeoffset : nodeoffset + K]
+                if rkmer != ckmer:
+                    nbad += 1
+                    print(f"Checking {readid} {info.readname} {ori} "
+                          f"offset:{nodeoffset} trim5:{trim5}", file=sys.stderr)
+                    print(f"  {rkmer}\n  {ckmer}", file=sys.stderr)
+                    print(f"mismatch: {node.str_m}", file=sys.stderr)
+        if self.verbose:
+            print(f"checking read starts....  found {nbad} bad starts "
+                  f"out of {nall}", file=sys.stderr)
+        return nbad, nall
 
     # ------------------------------------------------------------------
     # cycle detection (ref: Graph.cc:593-681)

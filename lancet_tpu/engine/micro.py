@@ -403,6 +403,7 @@ class Microassembler:
                     g.clear(False)
                     cycle_in_graph = True
                     break
+                g.check_read_starts(c)  # ref: Microassembler.cc:181
                 g.compress(c)
                 if dot:
                     dot.print_dot(g, f"{prefix}.2c.c{c}.dot", c, self.cfg.node_strlen)
