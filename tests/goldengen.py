@@ -223,3 +223,74 @@ ALL_SCENARIOS = [
 ]
 
 LR_SCENARIOS = ["lr_snv"]
+
+
+def fuzz_corpus(seed: int, n_events: int = 50, spacing: int = 1200):
+    """One chromosome with `n_events` randomized event sites (mixed SNV /
+    ins / del / adjacent-complex, random VAFs, shared-with-normal mix-ins,
+    quality-tail and soft-clip noise) -> (refseq, tumor, normal, region).
+    Exercises the same filter/event paths as the reference across many
+    windows in a single run."""
+    rng = random.Random(seed * 7919 + 3)
+    margin = 600
+    L = n_events * spacing + 2 * margin
+    refseq = make_reference(L, seed=seed + 5000)
+    other = {"A": "C", "C": "G", "G": "T", "T": "A"}
+    tumor: list[Aln] = []
+    normal: list[Aln] = []
+    rl, step = 100, 5
+    for idx in range(n_events):
+        c = margin + idx * spacing + spacing // 2
+        lo, hi = c - 160, c + 160
+        kind = rng.choice(["s", "s", "s", "i", "d", "cx"])
+        if kind == "s":
+            edit = ("s", c, other[refseq[c]])
+        elif kind == "i":
+            edit = ("i", c, "".join(rng.choice(BASES)
+                                    for _ in range(rng.randint(1, 8))))
+        elif kind == "d":
+            edit = ("d", c, rng.randint(1, 8))
+        else:  # adjacent double substitution -> complex record
+            edit = ("s", c, other[refseq[c]])
+        vaf = rng.uniform(0.15, 0.9)
+        t = hap_reads(refseq, edit, lo, hi, rl, step, f"ft{idx}_",
+                      vaf, seed * 101 + idx)
+        shared = rng.random() < 0.25
+        n = hap_reads(refseq, edit if shared else None, lo, hi, rl, step,
+                      f"fn{idx}_", 0.5 if shared else 0, seed * 103 + idx)
+        if kind == "cx":
+            # second substitution on top of the first (same haplotype)
+            p2 = c + 1
+            for al in t + (n if shared else []):
+                off = p2 - al.pos
+                if (0 <= off < len(al.seq) and al.seq[off] == refseq[p2]
+                        and al.seq[c - al.pos] != refseq[c]
+                        and al.cigar == [("M", rl)]):
+                    al.seq = (al.seq[:off] + other[refseq[p2]]
+                              + al.seq[off + 1:])
+                    al.tags["MD"] = ("Z", md_for(refseq[al.pos:al.pos + rl],
+                                                 al.seq))
+        noise = rng.random()
+        if noise < 0.2:
+            # low-quality 8bp tails on every read -> 5'/3' trim path
+            for al in t + n:
+                al.qual = "#" * 8 + al.qual[8:-8] + "#" * 8
+        elif noise < 0.4:
+            # soft-clip noise: a few extra all-M reads re-marked with a
+            # 12bp clip (alignment content unchanged -> parity-safe)
+            for j, al in enumerate(t):
+                if j % 7 == 0 and al.cigar == [("M", rl)]:
+                    al.cigar = [("S", 12), ("M", rl - 12)]
+                    al.pos += 12
+                    al.tags["MD"] = ("Z", str(rl - 12))
+        elif noise < 0.5:
+            # MAPQ noise: every 9th tumor read below MIN_MAP_QUAL
+            for j, al in enumerate(t):
+                if j % 9 == 0:
+                    al.mapq = 7
+    # keep reads sorted by position for the BAM writer/index
+        tumor += t
+        normal += n
+    tumor.sort(key=lambda a: a.pos)
+    normal.sort(key=lambda a: a.pos)
+    return refseq, tumor, normal, f"chr1:{margin}-{L - margin}"
