@@ -339,6 +339,22 @@ class Graph:
         self.ref.compute_coverage(NML)
 
     # ------------------------------------------------------------------
+    # per-stage graph stats (ref: Graph.cc:3674-3691): total node count,
+    # component-local edge count and base span.
+    # ------------------------------------------------------------------
+    def print_stats(self, compid: int) -> None:
+        edgecnt = 0
+        span = 0
+        total = 0
+        for n in self.node_iter():
+            total += 1
+            if n.component == compid:
+                edgecnt += len(n.edges)
+                span += n.strlen()
+        print(f"  {compid}: nodes: {total} edges: {edgecnt} span: {span}",
+              file=sys.stderr)
+
+    # ------------------------------------------------------------------
     # read-start audit (ref: Graph.cc:3388-3450, called per component at
     # Microassembler.cc:181): every readstart record must still point at
     # the k-mer of its read — compare the read's k-mer at trim5 against
@@ -420,13 +436,24 @@ class Graph:
     # marking (ref: Graph.cc:2233-2336)
     # ------------------------------------------------------------------
     def mark_ref_nodes(self) -> None:
+        if self.verbose:
+            print("\nmark refnodes", file=sys.stderr)
+        nodes = 0
+        refnodes = 0
         for n in self.node_iter():
-            n.mark_ref(self.ref, self.K)
+            nodes += 1
+            refnodes += n.mark_ref(self.ref, self.K)
             n.component = 0
+        if self.verbose:
+            print(f" nodes: {nodes} refnodes: {refnodes}", file=sys.stderr)
 
     def mark_connected_components(self) -> int:
+        if self.verbose:
+            print("\nconnected components", file=sys.stderr)
         self.ref.refcompids = set()
+        nnodes = 0
         for n in self.node_iter():
+            nnodes += 1
             n.component = 0
         comp = 0
         refcomp = 0
@@ -449,8 +476,16 @@ class Graph:
             if touches:
                 refcomp += 1
                 self.ref.refcompids.add(comp)
+        # reference quirk: its local `refnodes` is never incremented in
+        # markConnectedComponents, so ref->refnodes is stored as 0 here
+        # (Graph.cc:2256, :2316) and eka later prints refnodes-2 == -2.
+        self.ref.refnodes = 0
         self.ref.refcomp = refcomp
         self.ref.allcomp = comp
+        if self.verbose:
+            ids = "".join(f" {i}" for i in sorted(self.ref.refcompids))
+            print(f" nodes: {nnodes} refnodes: 0 comp: {comp} "
+                  f"refcomp: {refcomp} refcompids: {ids}", file=sys.stderr)
         return comp
 
     # ------------------------------------------------------------------
@@ -675,6 +710,8 @@ class Graph:
             node.sort_read_starts()
 
     def compress(self, compid: int) -> None:
+        if self.verbose:
+            print("compressing graph:", end="", file=sys.stderr)
         for n in self.node_iter():
             if n.component == compid:
                 if n.dead or n.is_special():
@@ -685,6 +722,8 @@ class Graph:
 
     def clean_dead(self) -> None:
         dead = [k for k, n in self.nodes.items() if n.dead]
+        if self.verbose:
+            print(f"  removing {len(dead)} dead nodes", file=sys.stderr)
         for k in sorted(dead):  # reference collects into std::set (sorted)
             del self.nodes[k]
 
@@ -698,6 +737,9 @@ class Graph:
 
     def remove_low_cov(self, docompression: bool, compid: int) -> None:
         """(ref: Graph.cc:2790-2827) — prune on min quality-gated coverage."""
+        if self.verbose:
+            print("\nremoving low coverage:", end="", file=sys.stderr)
+        lowcovnodes = 0
         avgcov = self.totalreadbp / len(self.ref.rawseq)
         for node in self.node_iter():
             if node.component != compid or node.dead:
@@ -707,15 +749,24 @@ class Graph:
             if (node.mincov_qv <= self.LOW_COV_THRESHOLD
                     or node.mincov_qv <= self.MIN_COV_RATIO * avgcov
                     or (node.tot_tmr_cov() == 1 and node.tot_nml_cov() == 1)):
+                lowcovnodes += 1
                 self.remove_node(node)
+        if self.verbose:
+            print(f" found {lowcovnodes}", end="", file=sys.stderr)
         self.clean_dead()
         if docompression:
             self.compress(compid)
+        if self.verbose:
+            self.print_stats(compid)
 
     def remove_tips(self, compid: int) -> None:
         """(ref: Graph.cc:2885-2926)"""
+        rnd = 0
         while True:
             tips = 0
+            rnd += 1
+            if self.verbose:
+                print(f"\nremove tips round: {rnd}", end="", file=sys.stderr)
             for cur in self.node_iter():
                 if cur.component != compid or cur.dead:
                     continue
@@ -726,17 +777,23 @@ class Graph:
                 if deg <= 1 and ln < self.MAX_TIP_LEN:
                     self.remove_node(cur)
                     tips += 1
+            if self.verbose:
+                print(f" removed: {tips}", file=sys.stderr)
             if tips:
                 # reference calls compress() which also cleans dead nodes
                 self.compress(compid)
             else:
                 break
+        if self.verbose:
+            self.print_stats(compid)
 
     def remove_short_links(self, compid: int) -> None:
         """(ref: Graph.cc:2833-2880)"""
         import math
 
         links = 0
+        if self.verbose:
+            print("\nremove short links: ", end="", file=sys.stderr)
         avgcov = self.totalreadbp / len(self.ref.rawseq)
         thr = math.floor(math.sqrt(avgcov))
         for cur in self.node_iter():
@@ -754,8 +811,12 @@ class Graph:
                 if L == 0:
                     self.remove_node(cur)
                     links += 1
+        if self.verbose:
+            print(f" removed links: {links}", file=sys.stderr)
         if links:
             self.compress(compid)
+        if self.verbose:
+            self.print_stats(compid)
 
     # ------------------------------------------------------------------
     # path enumeration (ref: Graph.cc:1299-1501)
@@ -807,21 +868,57 @@ class Graph:
 
     def eka(self, source: Node, sink: Node, d: str) -> None:
         """Edmonds–Karp-style edge-covering path enumeration feeding
-        process_path (ref: Graph.cc:1430-1501)."""
+        process_path (ref: Graph.cc:1430-1501). Under verbose, prints the
+        reference's path-class counters (perfect/withsnps/withindel/
+        withmix, Graph.cc:1481-1493); classification mirrors the
+        reference quirk that snp/ins/del bp are only tallied under
+        verbose (inside printVerticalAlignment, Graph.cc:749-766)."""
+        if self.verbose:
+            print(f"\nsearching from {source.nodeid} to {sink.nodeid} "
+                  f"dir: {d}", file=sys.stderr)
         complete = 0
+        allcycles = 0
+        perfect = withsnps = withindel = withmix = 0
         while True:
             path = self.bfs(source, sink, d)
             if path is None:
                 break
+            if path.has_cycle_m:
+                allcycles += 1
             complete += 1
-            self.process_path(path, self.ref, complete)
+            cls = self.process_path(path, self.ref, complete)
+            if cls is not None:
+                snp, ins, dele = cls
+                if snp + ins + dele == 0:
+                    perfect += 1
+                elif snp == 0:
+                    withindel += 1
+                elif ins + dele == 0:
+                    withsnps += 1
+                else:
+                    withmix += 1
             for e in path.edges:
                 e.flag = 1
+        if self.verbose:
+            print(f" refcomp: {self.ref.refcomp} "
+                  f"refnodes: {self.ref.refnodes - 2} "
+                  f"complete: {complete} allcycles: {allcycles}",
+                  file=sys.stderr)
+            print(f" perfect: {perfect} withsnps: {withsnps} "
+                  f"withindel: {withindel} withmix: {withmix} "
+                  f"withmixindel: {withmix + withindel}", file=sys.stderr)
 
     def find_repeats_in_graph_paths(self, ref) -> bool:
         """(ref: Graph.cc:686-730)"""
+        if self.verbose:
+            print("\nlooking for near-perfect repeats:", file=sys.stderr)
         if self.source is None or self.sink is None:
+            if self.verbose:
+                print("Missing source or sink", file=sys.stderr)
             return False
+        if self.verbose:
+            print(f"\nsearching from {self.source.nodeid} to "
+                  f"{self.sink.nodeid} dir: {F}", file=sys.stderr)
         answer = False
         touched: list[Edge] = []
         while True:
@@ -830,6 +927,9 @@ class Graph:
                 break
             if is_almost_repeat(path.str(), self.K, self.MAX_MISMATCH):
                 answer = True
+                if self.verbose:
+                    print("Near-perfect repeat in assembled sequence for "
+                          f"kmer {self.K}", file=sys.stderr)
                 break
             for e in path.edges:
                 e.flag = 1
@@ -843,8 +943,13 @@ class Graph:
 
     def count_ref_path(self) -> None:
         """(ref: Graph.cc:2420-2445)"""
-        if self.source is not None and self.sink is not None:
-            self.eka(self.source, self.sink, F)
+        if self.source is not None:
+            if self.sink is not None:
+                self.eka(self.source, self.sink, F)
+            if self.verbose:  # alignRefNodes (ref: Graph.cc:2400-2415)
+                refpathnodes = sum(1 for n in self.node_iter()
+                                   if n.on_ref_path)
+                print(f" Found {refpathnodes} on ref path", file=sys.stderr)
 
     # ------------------------------------------------------------------
     # path -> variants (ref: Graph.cc:788-1220)
@@ -856,6 +961,7 @@ class Graph:
         from .extract import finish_path, make_path_job
 
         job = make_path_job(self, path, ref)
+        cls = None
         if self.path_sink is not None:
             self.path_sink(job)
         else:
@@ -864,6 +970,19 @@ class Graph:
             else:
                 ref_aln, path_aln = job.refseq, job.pathseq
             finish_path(job, ref_aln, path_aln, self.cfg, self.vdb)
+            if self.verbose:
+                snp = ins = dele = 0
+                for a, b in zip(ref_aln, path_aln):
+                    if a == b:
+                        pass
+                    elif a == "-":
+                        ins += 1
+                    elif b == "-":
+                        dele += 1
+                    else:
+                        snp += 1
+                cls = (snp, ins, dele)
 
         for n in path.nodes:
             n.on_ref_path += 1
+        return cls

@@ -3,6 +3,7 @@ assembly driver (ref: src/Microassembler.{hh,cc})."""
 
 from __future__ import annotations
 
+import sys
 from dataclasses import dataclass, field
 
 from .graph import CODE_BASTARD, CODE_MAPPED, Graph
@@ -273,6 +274,13 @@ class Microassembler:
         sample_type = "tumor" if code == TMR else "normal"
         totalreadbp = 0
         skip = False
+        if cfg.verbose:
+            print("Extract reads from "
+                  + ("tumor" if code == TMR else "normal"), file=sys.stderr)
+        # per-call filter counters (ref: Microassembler.cc:465-473)
+        num_xt_r = num_xt_m = num_xa = 0
+        num_high_softclip = num_high_xm = num_equal_as_xs = 0
+        tot_reads_window = 0
 
         for al in alns:
             avgcov = totalreadbp / len(refinfo.rawseq) if refinfo.rawseq else 0.0
@@ -299,14 +307,24 @@ class Microassembler:
             xs_ = al.get_numeric_tag("XS")
             delta = abs(as_ - xs_)
             if delta <= min_delta and as_ != -1 and xs_ != -1:
+                num_equal_as_xs += 1
                 continue
 
+            if al.get_numeric_tag("XM") >= MIN_XM:
+                num_high_xm += 1  # counted, not skipped (Micro.cc:541)
+
             xt = al.get_string_tag("XT") or "null"
-            if xt == "R" and code != NML:
-                continue
+            if xt == "R":
+                num_xt_r += 1
+                if code != NML:
+                    continue
+            if xt == "M":
+                num_xt_m += 1
             xa = al.get_string_tag("XA") or "null"
-            if xa != "null" and code != NML and cfg.xa_filter:
-                continue
+            if xa != "null":
+                num_xa += 1
+                if code != NML and cfg.xa_filter:
+                    continue
 
             bx = "null"
             hp = 0
@@ -315,6 +333,10 @@ class Microassembler:
                 hp = int(al.get_numeric_tag("HP"))
                 if hp == -1:
                     hp = 0
+
+            sc_bases = sum(ln for op, ln in al.cigar if op == "S")
+            if sc_bases and len(al.seq) and sc_bases / len(al.seq) >= CLIP_PRC:
+                num_high_softclip += 1  # counted, not skipped (Micro.cc:608)
 
             rg = al.get_string_tag("RG") or "null"
             if "null" in self.readgroups or rg in self.readgroups:
@@ -325,7 +347,25 @@ class Microassembler:
                     g.add_alignment(sample_type, al.name, al.seq, al.qual,
                                     mate, CODE_MAPPED, code, strand, bx, hp)
                 self.counters.total_reads += 1
+                tot_reads_window += 1
                 totalreadbp += len(al.seq)
+
+        if cfg.verbose:
+            # ref: Microassembler.cc:641-652 (prc is C++ default %g; the
+            # 0/0 window case prints -nan on x86 like the reference)
+            # reference cerr is globally fixed/precision(1) (Lancet.cc:623)
+            prc = (100.0 * num_high_softclip / tot_reads_window
+                   if tot_reads_window else float("nan"))
+            prcs = "-nan" if tot_reads_window == 0 else f"{prc:.1f}"
+            md = int(min_delta) if float(min_delta).is_integer() else min_delta
+            print(f"Num reads marked as repeat (XT:A:R tag): {num_xt_r}\n"
+                  f"Num reads marked as Mate-sw (XT:A:M tag): {num_xt_m}\n"
+                  f"Num reads with alternative hits (XA tag): {num_xa}\n"
+                  f"Num reads with >={100 * CLIP_PRC:.1f}% soft-clipping: "
+                  f"{num_high_softclip}({prcs}%)\n"
+                  f"Num reads with >={MIN_XM} mis-matches: {num_high_xm}\n"
+                  f"Num reads with |AS-XS|<={md}: {num_equal_as_xs}",
+                  file=sys.stderr)
         return skip
 
     # ------------------------------------------------------------------
@@ -336,9 +376,19 @@ class Microassembler:
         if g.count_mapped_reads() <= 0:
             return 0
         numreads = len(g.readid2info)
+        verbose = self.cfg.verbose
+        if verbose:
+            print(f"== Processing {self.graph_cnt}: {refinfo.hdr} "
+                  f"numsequences: {numreads} "
+                  f"mapped: {g.count_mapped_reads()} "
+                  f"bastards: {g.count_bastard_reads()}", file=sys.stderr)
+            print("=====================================================",
+                  file=sys.stderr)
 
+        # verbose is a per-window debugging mode: run the oracle engine so
+        # the reference's stderr counter lines can be emitted faithfully
         use_fast = (self.engine == "tpu" and not self.cfg.lr_mode
-                    and not self.cfg.kmer_recovery)
+                    and not self.cfg.kmer_recovery and not verbose)
         # full native per-k pipeline (build through path cover in C++);
         # DOT export needs live Python graph objects, so it opts out
         use_pipe = False
@@ -346,20 +396,32 @@ class Microassembler:
             from .fastpipe import available
             use_pipe = available()
 
+        rpt_in_ref = False
+        rpt_in_qry = False
+        cycle_in_graph = False
         for k in range(minkmer, maxkmer + 1, 2):
             g.set_k(k)
             refinfo.set_k(k)
+            rpt_in_ref = False
             rpt_in_qry = False
             cycle_in_graph = False
 
             grow = self._gates.get(refinfo.hdr) if self._gates else None
-            if grow is not None and k in self._gate_kidx:
+            if grow is not None and k in self._gate_kidx and not verbose:
                 if grow[0][self._gate_kidx[k]]:
                     continue
             else:
                 if is_repeat(refinfo.rawseq, k):
+                    if verbose:
+                        print(f"Repeat in reference sequence for kmer {k}",
+                              file=sys.stderr)
+                    rpt_in_ref = True
                     continue
                 if is_almost_repeat(refinfo.rawseq, k, self.cfg.max_mismatch):
+                    if verbose:
+                        print("Near-perfect repeat in reference sequence "
+                              f"for kmer {k}", file=sys.stderr)
+                    rpt_in_ref = True
                     continue
 
             if use_pipe:
@@ -384,6 +446,13 @@ class Microassembler:
                 if self.cfg.kmer_recovery:
                     from .error_corrector import mers_recovery
                     mers_recovery(g, 2, self.cfg.min_qual_call)
+                if verbose:  # ref: Microassembler.cc:143-150
+                    avgcov = g.totalreadbp / len(refinfo.rawseq)
+                    print(f"reads: {len(g.readid2info)} "
+                          f"reflen: {len(refinfo.rawseq)} "
+                          f"readlen: {g.totalreadbp} cov: {avgcov:.1f}",
+                          file=sys.stderr)
+                    g.print_stats(0)
                 g.mark_ref_nodes()
                 g.remove_low_cov(False, 0)
             numcomp = g.mark_connected_components()
@@ -396,6 +465,8 @@ class Microassembler:
                 dot.print_dot(g, f"{prefix}.0.dot", 0, self.cfg.node_strlen)
 
             for c in range(1, numcomp + 1):
+                if verbose:
+                    g.print_stats(c)  # ref: Microassembler.cc:168
                 g.mark_ref_ends(refinfo, c)
                 if dot:
                     dot.print_dot(g, f"{prefix}.1l.c{c}.dot", c, self.cfg.node_strlen)
@@ -405,6 +476,8 @@ class Microassembler:
                     break
                 g.check_read_starts(c)  # ref: Microassembler.cc:181
                 g.compress(c)
+                if verbose:
+                    g.print_stats(c)  # ref: Microassembler.cc:185
                 if dot:
                     dot.print_dot(g, f"{prefix}.2c.c{c}.dot", c, self.cfg.node_strlen)
                 g.remove_low_cov(True, c)
@@ -433,6 +506,14 @@ class Microassembler:
             break
 
         g.clear(True)
+        if verbose:
+            if rpt_in_ref:
+                print(" Found repeat in reference", file=sys.stderr)
+            if rpt_in_qry:
+                print(" Found repeat in assembly", file=sys.stderr)
+            if cycle_in_graph:
+                print(" Found cycle in assembly", file=sys.stderr)
+            print("FINISHED", file=sys.stderr)
         return numreads
 
     # ------------------------------------------------------------------

@@ -231,6 +231,14 @@ def run(cfg: Config, command_line: str = "lancet-tpu", date: str | None = None,
             if fb_ma is not None:
                 counters.append(fb_ma.counters)
             counters.append(ctr)
+            # surface native→python replays: a silent 100%-fallback
+            # regression must look like an error, not a perf mystery
+            stats["n_fallback"] = len(res.fallback)
+            if res.fallback:
+                import sys as _sys
+                print(f"WARNING: {len(res.fallback)} windows replayed on "
+                      "the python engine (native shard runner fallback)",
+                      file=_sys.stderr)
             use_native = True
         else:
             use_native = False
