@@ -46,13 +46,16 @@ def load_library() -> ctypes.CDLL:
             return _lib
         if os.environ.get("LANCET_TPU_NO_NATIVE"):
             raise NativeUnavailable("disabled by LANCET_TPU_NO_NATIVE")
+        # sanitizer/CI hook: point at an alternate build (e.g. ASan)
+        so_path = os.environ.get("LANCET_TPU_NATIVE_SO", _SO)
         try:
-            if (not os.path.exists(_SO)
+            if so_path == _SO and (
+                    not os.path.exists(_SO)
                     or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
                 _build()
         except FileNotFoundError as e:  # no g++
             raise NativeUnavailable(str(e))
-        lib = ctypes.CDLL(_SO)
+        lib = ctypes.CDLL(so_path)
         lib.lbam_open.restype = ctypes.c_void_p
         lib.lbam_open.argtypes = [ctypes.c_char_p]
         lib.lbam_close.argtypes = [ctypes.c_void_p]
