@@ -238,7 +238,8 @@ def run_shards(cfg, windows, tumor, normal, stats: dict | None = None,
     reads = np.zeros(n, np.int64)
     tot_jobs = 0
     tot_dp = 0
-    t_host = t_dp = t_fin = 0.0
+    t_host = t_dp = t_fin = t_dp_wait = 0.0
+    t_dp_prep = t_dp_send = 0.0
     zero3 = (0, 0, 0)
 
     def dispatch_dp(h, idxs):
@@ -262,6 +263,7 @@ def run_shards(cfg, windows, tumor, normal, stats: dict | None = None,
                 lib.lsr_job_path(h, int(i)), int(meta[i, 3])).decode(
                 "latin-1")
             pairs.append((w.rawseq[src : src + dist], pathseq))
+        t_mid = _time.perf_counter()
         state = None
         if pairs:
             if mesh is not None:
@@ -272,17 +274,22 @@ def run_shards(cfg, windows, tumor, normal, stats: dict | None = None,
                 from ..tpu.align_batch import batch_align_async
 
                 state = batch_align_async(pairs)
-        t_dp += _time.perf_counter() - t0
+        nonlocal t_dp_prep, t_dp_send
+        t1 = _time.perf_counter()
+        t_dp_prep += t_mid - t0
+        t_dp_send += t1 - t_mid
+        t_dp += t1 - t0
         tot_jobs += int(n_jobs)
         tot_dp += len(pairs)
         return state
 
     def finish(h, idxs, dp_state):
-        nonlocal t_dp, t_fin
+        nonlocal t_dp, t_fin, t_dp_wait
         t0 = _time.perf_counter()
         from ..tpu.align_batch import batch_align_wait
 
         aligned = batch_align_wait(dp_state)
+        t_dp_wait += _time.perf_counter() - t0
         t_dp += _time.perf_counter() - t0
 
         t0 = _time.perf_counter()
@@ -363,6 +370,9 @@ def run_shards(cfg, windows, tumor, normal, stats: dict | None = None,
         stats["t_host"] = t_host  # blocked-on-native time (overlap hides it)
         stats["t_pipeline"] = _time.perf_counter() - t_all
         stats["t_dp"] = t_dp
+        stats["t_dp_wait"] = t_dp_wait
+        stats["t_dp_prep"] = t_dp_prep
+        stats["t_dp_send"] = t_dp_send
         stats["t_finish"] = t_fin
         stats["n_jobs"] = tot_jobs
         stats["n_dp"] = tot_dp

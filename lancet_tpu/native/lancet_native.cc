@@ -737,7 +737,10 @@ inline const uint8_t* code2_table() {
 // per-thread reusable scratch (one lgb_build runs per thread at a time)
 struct Scratch {
   std::vector<uint8_t> rc_cat, orif, skip, rc_ref;
-  std::vector<int32_t> qbad, nid, vread, vpos, badp;
+  std::vector<int32_t> qbad, nid, vread, vpos, badp, clean_cnt, m_cnt,
+      m_fill;
+  std::vector<int64_t> m_off;
+  std::vector<std::string_view> m_flat;
   std::vector<const uint8_t*> canon;
   std::vector<const uint8_t*> rep;
   FlatNodeMap node_map;
@@ -925,30 +928,53 @@ void* lgb_build(const uint8_t* cat, const uint8_t* qcat, int64_t tot,
     for (int64_t r = 0; r < n_reads; ++r)
       if (order[r] > 0) { any_paired = true; break; }
     if (any_paired) {
-      std::vector<std::vector<std::string_view>> mate1(n_nodes),
-          mate2(n_nodes);
+      // flat replay of the reference's per-node push-ordered name vectors
+      // (same pushes, same std::binary_search-over-unsorted-data quirk,
+      // same interleaving): pass 1 counts pushes per (node, mate order),
+      // pass 2 replays pushes into prefix-offset slots and probes over
+      // the other order's filled prefix — the exact state the reference's
+      // vector would hold at that probe. Avoids 2*n_nodes vector allocs
+      // per (window, k) call.
       auto name_of = [&](int32_t r) {
         return std::string_view((const char*)name_blob + name_off[r],
                                 (size_t)(name_off[r + 1] - name_off[r]));
       };
-      for (int64_t i = 0; i < n_mers; ++i) {
+      auto visit_paired = [&](int64_t i) {
         const int32_t r = vread[i];
-        const int32_t o = order[r];
-        if (o == 0 || sample[r] == 3) continue;
-        const int32_t last = lens[r] - K;  // pos of final mer
-        if (vpos[i] == last) continue;     // pairs exist for non-last mers
-        const std::string_view nm = name_of(r);
-        auto& self_u = (o == 1) ? mate1[nid[i]] : mate2[nid[i]];
-        auto& self_v = (o == 1) ? mate1[nid[i + 1]] : mate2[nid[i + 1]];
-        self_u.push_back(nm);
-        self_v.push_back(nm);
-        if (vpos[i] == 0) {
-          auto& other = (o == 1) ? mate2[nid[i]] : mate1[nid[i]];
-          if (std::binary_search(other.begin(), other.end(), nm)) skip[i] = 1;
-        }
-        auto& other_v = (o == 1) ? mate2[nid[i + 1]] : mate1[nid[i + 1]];
-        if (std::binary_search(other_v.begin(), other_v.end(), nm))
-          skip[i + 1] = 1;
+        return order[r] > 0 && sample[r] != 3 && vpos[i] != lens[r] - K;
+      };
+      scr.m_cnt.assign((size_t)n_nodes * 2, 0);
+      int32_t* mcnt = scr.m_cnt.data();  // [order0: n_nodes][order1: ...]
+      for (int64_t i = 0; i < n_mers; ++i) {
+        if (!visit_paired(i)) continue;
+        const int64_t b = (order[vread[i]] == 1) ? 0 : n_nodes;
+        ++mcnt[b + nid[i]];
+        ++mcnt[b + nid[i + 1]];
+      }
+      scr.m_off.resize((size_t)n_nodes * 2 + 1);
+      int64_t* moff = scr.m_off.data();
+      moff[0] = 0;
+      for (int64_t n2 = 0; n2 < n_nodes * 2; ++n2)
+        moff[n2 + 1] = moff[n2] + mcnt[n2];
+      scr.m_flat.resize((size_t)moff[n_nodes * 2]);
+      std::string_view* mflat = scr.m_flat.data();
+      scr.m_fill.assign((size_t)n_nodes * 2, 0);
+      int32_t* mfill = scr.m_fill.data();
+      auto probe = [&](int64_t b_other, int64_t n, std::string_view nm) {
+        const std::string_view* first = mflat + moff[b_other + n];
+        return std::binary_search(first, first + mfill[b_other + n], nm);
+      };
+      for (int64_t i = 0; i < n_mers; ++i) {
+        if (!visit_paired(i)) continue;
+        const int32_t o = order[vread[i]];
+        const int64_t b_self = (o == 1) ? 0 : n_nodes;
+        const int64_t b_other = (o == 1) ? n_nodes : 0;
+        const std::string_view nm = name_of(vread[i]);
+        const int64_t u = nid[i], v = nid[i + 1];
+        mflat[moff[b_self + u] + mfill[b_self + u]++] = nm;
+        mflat[moff[b_self + v] + mfill[b_self + v]++] = nm;
+        if (vpos[i] == 0 && probe(b_other, u, nm)) skip[i] = 1;
+        if (probe(b_other, v, nm)) skip[i + 1] = 1;
       }
     }
   }
@@ -966,6 +992,8 @@ void* lgb_build(const uint8_t* cat, const uint8_t* qcat, int64_t tot,
   int32_t* cov = out->cov;
   int32_t* mq = out->mq;
   uint8_t* flags = out->flags;
+  scr.clean_cnt.assign((size_t)n_nodes * 4, 0);
+  int32_t* clean = scr.clean_cnt.data();
 
   for (int64_t i = 0; i < n_mers; ++i) {
     const int32_t r = vread[i];
@@ -986,8 +1014,15 @@ void* lgb_build(const uint8_t* cat, const uint8_t* qcat, int64_t tot,
     const int col = (sm == 4 ? 0 : 2) + (fwd ? 0 : 1);
     cov[n * 4 + col] += 1;
     flags[n] |= (uint8_t)(lgb::F_SEENF_T << col);
-    // per-base min-quality counts in canonical orientation
+    // per-base min-quality counts in canonical orientation. Fast path:
+    // when every base of the window passes minq (the common case — one
+    // qbad prefix lookup), defer to a scalar per (col, node) that a
+    // single broadcast pass adds to all K positions afterwards.
     const int64_t o = starts[r] + vpos[i];
+    if (qbad[o + K] - qbad[o] == 0) {
+      clean[(int64_t)col * n_nodes + n] += 1;
+      continue;
+    }
     int32_t* row = mq + ((int64_t)col * n_nodes + n) * K;
     if (orif[i]) {
       const uint8_t* q = qcat + o;
@@ -996,6 +1031,12 @@ void* lgb_build(const uint8_t* cat, const uint8_t* qcat, int64_t tot,
       const uint8_t* q = qcat + o + K - 1;
       for (int j = 0; j < K; ++j) row[j] += (q[-j] >= minq);
     }
+  }
+  for (int64_t cn_i = 0; cn_i < n_nodes * 4; ++cn_i) {
+    const int32_t c = clean[cn_i];
+    if (!c) continue;
+    int32_t* row = mq + cn_i * K;
+    for (int j = 0; j < K; ++j) row[j] += c;
   }
 
   // reference-window mer membership (markRefNodes at k-mer stage): the

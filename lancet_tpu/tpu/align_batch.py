@@ -199,10 +199,17 @@ def batch_align_async(pairs: list[tuple[str, str]]):
     if not pairs:
         return None
     P = len(pairs)
+    use_pallas = _use_pallas()
     # 128-multiple buckets: Mosaic lane alignment with minimal padded DP
     # area (pow2 buckets nearly doubled the work at ~1100bp windows)
     N = _round_up(max(128, max(len(s) for s, _ in pairs)), 128)
     M = _round_up(max(128, max(len(t) for _, t in pairs)), 128)
+    if use_pallas:
+        # on-device runs: square buckets only — each distinct (N, M, P)
+        # is a fresh XLA compile (~1s even with the persistent cache's
+        # deserialize), and exposed compiles cost more than the ~10%
+        # extra padded DP area a square shape adds
+        N = M = max(N, M)
     S = np.zeros((P, N + 1), dtype=np.uint8)
     T = np.zeros((P, M + 1), dtype=np.uint8)
     n_len = np.zeros(P, np.int32)
@@ -213,8 +220,10 @@ def batch_align_async(pairs: list[tuple[str, str]]):
         n_len[p] = len(s)
         m_len[p] = len(t)
 
-    # pad the pair axis to a power of two as well (shape-bucketing)
-    P_pad = 1 << max(3, (P - 1).bit_length())
+    # pad the pair axis to a power of two as well (shape-bucketing);
+    # on device, floor at 128 so batch size never adds bucket variants
+    # (the sublane dimension is cheap on the VPU)
+    P_pad = 1 << max(7 if use_pallas else 3, (P - 1).bit_length())
     if P_pad != P:
         pad = P_pad - P
         S = np.concatenate([S, np.tile(S[-1:], (pad, 1))])
@@ -224,7 +233,15 @@ def batch_align_async(pairs: list[tuple[str, str]]):
 
     ops, counts = _dp_and_traceback(jnp.asarray(S), jnp.asarray(T),
                                     jnp.asarray(n_len), jnp.asarray(m_len),
-                                    N, M, _use_pallas())
+                                    N, M, use_pallas)
+    # enqueue the D2H transfers now (they run as soon as the computation
+    # finishes) so batch_align_wait finds the bytes already on host —
+    # the device->host link is a tunnel on remote-attached chips
+    try:
+        ops.copy_to_host_async()
+        counts.copy_to_host_async()
+    except AttributeError:
+        pass
     return ops, counts, pairs
 
 
