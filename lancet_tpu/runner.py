@@ -353,5 +353,9 @@ def run(cfg: Config, command_line: str = "lancet-tpu", date: str | None = None,
         date = time.asctime() + "\n"
     sample_t = tumor.sample_name()
     sample_n = normal.sample_name()
-    return merged.to_vcf(LANCET_VERSION, cfg.ref_fasta, date, cfg.filters,
-                         sample_n, sample_t, command_line)
+    t0 = time.perf_counter()
+    vcf = merged.to_vcf(LANCET_VERSION, cfg.ref_fasta, date, cfg.filters,
+                        sample_n, sample_t, command_line)
+    # FET/SB Fisher scoring + filters + text render, per PASS candidate
+    stats["t_render"] = time.perf_counter() - t0
+    return vcf
