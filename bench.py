@@ -197,7 +197,13 @@ def main():
 
     # Warmup (untimed): XLA compiles (persistent-cached) and first
     # device<->host transfer; warm on a slice covering every shape bucket.
-    run_ours(f"chr1:300-30000")
+    # Its summary lines are suppressed so the driver tail holds only the
+    # timed run's counters.
+    import contextlib
+    import io
+
+    with contextlib.redirect_stderr(io.StringIO()):
+        run_ours("chr1:300-30000")
 
     stats: dict = {}
     elapsed, vcf = run_ours(region, stats)

@@ -118,3 +118,38 @@ def graph_stats(g, compid: int = 0) -> dict:
         if cur.is_tumor and not cur.is_normal:
             tumor_only += 1
     return {"nodes": n, "edges": edges, "tumor_only": tumor_only}
+
+
+def print_pairs(g, filename: str) -> None:
+    """All neighboring contig pairs (+ isolated contigs) as FASTA
+    (ref: printPairs, Graph.cc:1963-2022 — dead debug export in the
+    reference, carried for C17 completeness). Pair de-dup rule matches
+    the reference: skip RR edges, and for non-FF edges require
+    cur.nodeid < other.nodeid."""
+    import sys
+
+    from .node import FF, RR
+    from .path import Path
+
+    print(f"Saving pairs fasta: {filename}", file=sys.stderr)
+    with open(filename, "w") as fp:
+        nodes = 0
+        for cur in g.node_iter():
+            if not cur.edges:
+                nodes += 1
+                fp.write(f">{nodes}:{cur.nodeid} len={cur.strlen()} "
+                         f"cov={cur.tot_cov():.2f}\n{cur.str_m}\n")
+                continue
+            for e in cur.edges:
+                if e.dir == RR:
+                    continue
+                if e.dir == FF or cur.nodeid < e.nodeid:
+                    nodes += 1
+                    other = g.get_edge_node(e)
+                    pairpath = Path(g.K)
+                    pairpath.nodes = [cur, other]
+                    pairpath.edgedir = [e.dir]
+                    seq = pairpath.str()
+                    fp.write(f">{nodes}:{pairpath.pathstr()} "
+                             f"len={len(seq)} "
+                             f"cov={pairpath.cov('T'):.2f}\n{seq}\n")

@@ -47,7 +47,7 @@ def _print_summary(counters, num_windows: int) -> None:
 
 
 def _run_shard(cfg, tumor_path, normal_path, shard, engine, shard_idx=0,
-               resume_state=None, gates=None, defer=False):
+               resume_state=None, gates=None, defer=False, test_kill=False):
     """Process-pool worker: open its own readers (share-nothing) and
     return (VariantDB, window_times, counters, path_jobs).
 
@@ -56,6 +56,12 @@ def _run_shard(cfg, tumor_path, normal_path, shard, engine, shard_idx=0,
     PathJobs for the parent to align on the device and finish, so N
     workers saturate host cores while one process owns the TPU. Otherwise
     the worker pins JAX to CPU and flushes its own jobs."""
+    import multiprocessing as _mp
+
+    if test_kill and _mp.parent_process() is not None:
+        import os as _os
+
+        _os._exit(1)  # failure-injection hook: simulate a died worker
     if not defer:
         try:
             import jax
@@ -292,11 +298,34 @@ def run(cfg: Config, command_line: str = "lancet-tpu", date: str | None = None,
         t0 = time.perf_counter()
         with cf.ProcessPoolExecutor(max_workers=n_workers,
                                     mp_context=ctx) as ex:
+            kill_env = os.environ.get("LANCET_TPU_TEST_KILL_SHARD")
             futs = [ex.submit(_run_shard, cfg_eff, cfg.tumor_bam,
                               cfg.normal_bam, shard, engine, i,
-                              resume_state[i], gates_by_shard[i], defer)
+                              resume_state[i], gates_by_shard[i], defer,
+                              kill_env is not None and int(kill_env) == i)
                     for i, shard in enumerate(shards)]
-            results = [fut.result() for fut in futs]
+            results = []
+            dead: list[int] = []
+            for i, fut in enumerate(futs):
+                try:
+                    results.append(fut.result())
+                except Exception:
+                    # worker died (OOM/segv/kill): its shard is
+                    # re-enqueued in-parent below — the share-nothing
+                    # shard model makes the replay result-identical
+                    dead.append(i)
+                    results.append(None)
+        if dead:
+            import sys as _sys
+            print(f"WARNING: {len(dead)} worker(s) died; re-running "
+                  f"{sum(len(shards[i]) for i in dead)} windows in-parent",
+                  file=_sys.stderr)
+            for i in dead:
+                results[i] = _run_shard(cfg_eff, cfg.tumor_bam,
+                                        cfg.normal_bam, shards[i], engine,
+                                        i, resume_state[i],
+                                        gates_by_shard[i], defer)
+            stats["n_dead_workers"] = len(dead)
         stats["t_host"] = time.perf_counter() - t0
         if defer:
             from .engine.extract import finish_path

@@ -105,3 +105,30 @@ def test_summary_counters_stderr(corpus, capsys):
     err = capsys.readouterr().err
     assert "Total # of skipped windows:" in err
     assert "- # of windows with SNVs only:" in err
+
+
+def test_died_worker_windows_reenqueued(tmp_path, monkeypatch):
+    """A worker process that dies mid-run must have its shard replayed
+    in-parent with identical output (SURVEY §5 failure detection; the
+    reference's analog is rerunning the failed chromosome job)."""
+    import dataclasses
+
+    from tests.goldengen import scenario
+    from tests.helpers import write_pair
+
+    refseq, tumor, normal, region = scenario("two_snvs", 1)
+    ref_path, t_path, n_path = write_pair(str(tmp_path), refseq, "chr1",
+                                          tumor, normal)
+    cfg = Config(tumor_bam=t_path, normal_bam=n_path, ref_fasta=ref_path,
+                 region=region, num_threads=2)
+    # force the process-pool path (the native shard runner is in-process
+    # threaded C++ — no workers to die there)
+    monkeypatch.setenv("LANCET_TPU_NO_SHARDRUN", "1")
+    v_ok = run(cfg, command_line="x", date="D\n", engine="tpu",
+               processes=True)
+    monkeypatch.setenv("LANCET_TPU_TEST_KILL_SHARD", "1")
+    stats = {}
+    v_dead = run(cfg, command_line="x", date="D\n", engine="tpu",
+                 processes=True, stats=stats)
+    assert stats.get("n_dead_workers") == 1, "kill hook never fired"
+    assert v_dead == v_ok

@@ -62,3 +62,45 @@ def test_kmer_recovery_runs(tmp_path):
     cfg = dataclasses.replace(cfg, kmer_recovery=True)
     vcf = run(cfg, command_line="x", date="D\n", engine="oracle")
     assert "##fileformat=VCFv4.2" in vcf
+
+
+def test_print_pairs_export(tmp_path):
+    """print_pairs (ref: Graph.cc:1963-2022): neighboring-contig pairs +
+    isolated contigs as FASTA, with the reference's pair de-dup rule."""
+    from lancet_tpu.engine import dot as dot_mod
+    from lancet_tpu.engine.graph import Graph
+    from lancet_tpu.engine.micro import Microassembler
+    from lancet_tpu.io import open_bam, open_fasta
+    from lancet_tpu.windows import generate_windows
+
+    cfg, region = _setup(tmp_path, "somatic_del", 0)
+    captured = []
+    orig = Graph.compress
+
+    def spy(self, compid):
+        if not captured:
+            out = str(tmp_path / "pairs.fa")
+            dot_mod.print_pairs(self, out)
+            captured.append(out)
+        return orig(self, compid)
+
+    Graph.compress = spy
+    try:
+        fa = open_fasta(cfg.ref_fasta)
+        windows = generate_windows(fa, [region], fa.lengths,
+                                   cfg.window_size, cfg.padding)
+        ma = Microassembler(cfg, readers=(open_bam(cfg.tumor_bam),
+                                          open_bam(cfg.normal_bam)))
+        for w in windows:
+            ma.process_window(w)
+    finally:
+        Graph.compress = orig
+    assert captured
+    text = open(captured[0]).read()
+    recs = [l for l in text.splitlines() if l.startswith(">")]
+    assert recs, "no pair records"
+    # pair records name both nodes and the edge direction
+    assert any(l.count(":") >= 3 for l in recs)
+    # sequences are DNA
+    seqs = [l for l in text.splitlines() if not l.startswith(">")]
+    assert all(set(s) <= set("ACGTN") for s in seqs)
