@@ -205,9 +205,17 @@ def main():
     with contextlib.redirect_stderr(io.StringIO()):
         run_ours("chr1:300-30000")
 
+    # two timed passes: pass 1 may still pay first-touch costs (page
+    # cache, any shape bucket the warmup slice missed); pass 2 is the
+    # steady state a long-running service sees. Both are reported; the
+    # headline value is pass 2 (identical VCFs asserted).
+    stats1: dict = {}
+    elapsed1, vcf1 = run_ours(region, stats1)
     stats: dict = {}
     elapsed, vcf = run_ours(region, stats)
+    assert vcf == vcf1, "non-deterministic VCF between timed passes"
     wps = nwin / elapsed
+    wps_cold = nwin / elapsed1
 
     have_ref = ensure_ref_binary()
     ref = run_reference(region) if have_ref else None
@@ -247,6 +255,7 @@ def main():
         "vs_baseline": round(wps / anchor, 4) if anchor else None,
         "anchor": anchor_state,
         "anchor_wps": round(anchor, 3) if anchor else None,
+        "first_pass_wps": round(wps_cold, 3),
         "concordance": concordance,
         "breakdown": breakdown,
         "pallas_parity": parity,

@@ -1655,12 +1655,19 @@ void clean_dead(Graph& g) {
 }
 
 void compress_node(Graph& g, GN* node, Dir d) {
+  // cheap pre-checks first: most nodes have no mergeable buddy, and the
+  // segment deques below would otherwise copy str + both coverage tables
+  // per node per sweep for nothing
+  if (node->get_buddy(d) == -1) return;
+  if (node->is_tandem()) return;
   const int K = g.K;
-  std::deque<std::string> str_segs{node->str};
-  std::deque<std::vector<int32_t>> cov_segs_t{node->covT};
-  std::deque<std::vector<int32_t>> cov_segs_n{node->covN};
-  std::vector<std::string> status_tail;
   int64_t cur_len = (int64_t)node->str.size();
+  std::deque<std::string> str_segs;
+  str_segs.emplace_back(std::move(node->str));
+  std::deque<std::vector<int32_t>> cov_segs_t, cov_segs_n;
+  cov_segs_t.emplace_back(std::move(node->covT));
+  cov_segs_n.emplace_back(std::move(node->covN));
+  std::vector<std::string> status_tail;
   bool merged = false;
 
   while (true) {
@@ -1762,15 +1769,27 @@ void compress_node(Graph& g, GN* node, Dir d) {
   }
 
   if (merged) {
+    size_t slen = 0, clen_t = 0, clen_n = 0;
+    for (auto& s : str_segs) slen += s.size();
+    for (auto& v : cov_segs_t) clen_t += v.size();
+    for (auto& v : cov_segs_n) clen_n += v.size();
     node->str.clear();
+    node->str.reserve(slen);
     for (auto& s : str_segs) node->str += s;
     std::vector<int32_t> ct, cn;
+    ct.reserve(clen_t);
+    cn.reserve(clen_n);
     for (auto& v : cov_segs_t) ct.insert(ct.end(), v.begin(), v.end());
     for (auto& v : cov_segs_n) cn.insert(cn.end(), v.begin(), v.end());
     node->covT = std::move(ct);
     node->covN = std::move(cn);
     for (auto& s : status_tail) node->status += s;
     node->compute_min_cov();
+  } else {
+    // no merge happened: hand the moved-out segments back
+    node->str = std::move(str_segs.front());
+    node->covT = std::move(cov_segs_t.front());
+    node->covN = std::move(cov_segs_n.front());
   }
 }
 
