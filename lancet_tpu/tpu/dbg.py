@@ -1,0 +1,537 @@
+"""Batched device-side colored-DBG engine (SURVEY.md §7 core representation).
+
+Implements the reference's per-k window assembly stage as fixed-shape JAX
+over a window batch axis [W, ...]:
+
+- ``build_k`` (jit, static k/caps): mer-instance generation from padded
+  read tensors, canonicalization via 2-bit packed integers, sort/unique
+  node dedup, segment-sum coverage/quality aggregates, first-occurrence
+  edge tables, the fused markRefNodes + removeLowCov prune, and the
+  reference-window coverage projection
+  (ref: src/Graph.cc:119-589, :2233-2248, :2790-2827; src/Ref.cc:173-250).
+
+Semantics are defined by the oracle engine (`engine.graph` /
+`engine.fastbuild`); equality is asserted by tests/test_tpu_graph.py.
+
+Conventions:
+- base codes: A=0 C=1 G=2 T=3, N/invalid=4, pad>=4.
+- mers are packed 2 bits/base into (hi, lo) uint32 pairs (k <= 31), first
+  base in the highest bits so integer order == lexicographic base order.
+- node axis is *creation order* (first-occurrence in the reference's
+  visit stream), which is the map-insertion order the host-side
+  libstdc++-order rank simulation consumes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# sample codes used on device (host maps TMR=4/NML=5/REF=3 onto these)
+S_TMR = 0
+S_NML = 1
+S_REF = 2
+
+# direction codes (FF=0 FR=1 RF=2 RR=3), matching engine.fastbuild
+DIR_FF, DIR_FR, DIR_RF, DIR_RR = 0, 1, 2, 3
+
+I32_MAX = np.int32(2**31 - 1)
+
+
+def fliplink_code(d):
+    """Edge reversal (ref: Edge.hh:103-111): FF<->RR, FR/RF fixed."""
+    return ((d & 1) ^ 1) * 2 + ((d >> 1) ^ 1)
+
+
+def _pack_mers(bases, K):
+    """[..., L] base codes -> (hi, lo, valid) packed k-mers at every
+    offset m in [0, L-K]: mer m packs bases[m..m+K-1] MSB-first, and the
+    reverse complement packed likewise; valid = all bases < 4.
+
+    Returns fhi, flo, rhi, rlo, valid with shape [..., M], M = L-K+1.
+    """
+    L = bases.shape[-1]
+    M = L - K + 1
+    b = bases[..., :].astype(jnp.uint32)
+    fhi = jnp.zeros(bases.shape[:-1] + (M,), jnp.uint32)
+    flo = jnp.zeros_like(fhi)
+    rhi = jnp.zeros_like(fhi)
+    rlo = jnp.zeros_like(fhi)
+    bad = jnp.zeros(bases.shape[:-1] + (M,), bool)
+    for j in range(K):
+        bj = jax.lax.dynamic_slice_in_dim(b, j, M, axis=-1)
+        bad = bad | (bj >= 4)
+        bjc = bj & 3
+        fhi = ((fhi << 2) | (flo >> 30)) & jnp.uint32(0xFFFFFFFF)
+        flo = ((flo << 2) | bjc) & jnp.uint32(0xFFFFFFFF)
+        # rc: complemented base j goes to bit position 2j (little end of
+        # the rc mer is base 0 of fwd) -> build by setting bits directly
+        comp = bjc ^ 3
+        if 2 * j < 32:
+            rlo = rlo | (comp << (2 * j))
+        else:
+            rhi = rhi | (comp << (2 * j - 32))
+    return fhi, flo, rhi, rlo, ~bad
+
+
+def _lex_less(ahi, alo, bhi, blo, K):
+    """Packed-int comparison == lexicographic base comparison.
+
+    Both operands must be k-aligned (same K): compare (hi, lo)."""
+    return (ahi < bhi) | ((ahi == bhi) & (alo < blo))
+
+
+def _cummax(x, axis):
+    return jax.lax.associative_scan(jnp.maximum, x, axis=axis)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("K", "N", "E", "D", "Lraw", "low_cov_threshold",
+                     "min_cov_ratio"))
+def build_k(K, bases, quals, rlen, rsample, rstrand, rfrag, rorder,
+            raw, rawlen, seq_off, seq_len, totalreadbp, window_ok,
+            *, N, E, D, Lraw, min_qual_call,
+            low_cov_threshold, min_cov_ratio):
+    """One k attempt's graph build for a window batch.
+
+    bases/quals: [W, R, L] uint8 (post-trim, junk reads removed; the ref
+      pseudo-read is the last valid row with sample=S_REF and all quals
+      'K'); rlen [W, R] int32 (0 = absent row).
+    rsample [W, R] int8 (S_TMR/S_NML/S_REF); rstrand [W, R] int8 (0=fwd).
+    rfrag [W, R] int32 fragment id (paired reads only, else -1);
+    rorder [W, R] int8 mate order (0 unpaired, 1/2 mates): a node where
+      both orders of one fragment meet is a hasOverlappingMate candidate
+      (ref: Graph.cc:232-317) -> the window falls back to the native
+      engine, which replays the std::binary_search quirk exactly.
+    raw [W, Lraw] uint8 base codes; rawlen [W] int32.
+    seq_off/seq_len [W] int32: current trimmed-seq state (stale-trim
+      quirk: the mer index for this k uses the *previous* attempt's trim).
+    totalreadbp [W] int32; window_ok [W] bool (lanes to compute).
+
+    Returns a dict of node/edge tables in creation order (see module
+    docstring) plus refcov and per-window fallback flags.
+    """
+    W, R, L = bases.shape
+    M = L - K + 1
+    Mraw = Lraw - K + 1
+    # The ref pseudo-read (rawseq, all-'K' quals, untrimmed — oracle
+    # add_read without trim, fastbuild._add_ref_read) is its own stream;
+    # windows whose rawseq contains non-ACGT fall back on the host side.
+
+    # ---- read-mer instances --------------------------------------------
+    fhi, flo, rhi, rlo, bvalid = _pack_mers(bases, K)  # [W, R, M]
+    isF = _lex_less(fhi, flo, rhi, rlo, K)
+    mhi = jnp.where(isF, fhi, rhi)
+    mlo = jnp.where(isF, flo, rlo)
+
+    n_mers = jnp.maximum(rlen - K + 1, 0)  # per read
+    use_read = (rlen - K) > 0  # reads with a single mer are skipped
+    moff = jnp.arange(M, dtype=jnp.int32)[None, None, :]
+    inst_valid = use_read[:, :, None] & (moff < n_mers[:, :, None]) & bvalid
+
+    # per-pair quality gate: all K+1 quals >= minq (gap-free per read)
+    qbad = (quals < min_qual_call).astype(jnp.int32)
+    cq = jnp.cumsum(qbad, axis=-1)
+    cq = jnp.concatenate([jnp.zeros((W, R, 1), jnp.int32), cq], axis=-1)
+    # pair at offset m spans quals m..m+K (needs m+K <= L-1)
+    MP = L - K  # pair offsets 0..MP-1
+    pairq = (cq[..., K + 1 : K + 1 + MP] - cq[..., :MP]) == 0  # [W,R,MP]
+    pairq = jnp.pad(pairq, ((0, 0), (0, 0), (0, M - MP)))
+
+    # per-base qual-ok of the canonical-oriented mer: qok[m, j] =
+    # q[m + (j if F else K-1-j)] >= minq -> packed as K bits (bit j)
+    qge = (quals >= min_qual_call)
+    qok_f = jnp.zeros((W, R, M), jnp.uint32)
+    qok_r = jnp.zeros((W, R, M), jnp.uint32)
+    for j in range(K):
+        col = jax.lax.dynamic_slice_in_dim(qge, j, M, axis=-1)
+        cu = col.astype(jnp.uint32)
+        qok_f = qok_f | (cu << j)          # fwd orientation: base j
+        qok_r = qok_r | (cu << (K - 1 - j))  # rev orientation
+    qok_bits = jnp.where(isF, qok_f, qok_r)
+
+    # stream position of each instance: g = running count of valid
+    # instances in (read, offset) order within the window; the ref
+    # pseudo-read comes last (oracle appends it after the alignments)
+    flat_valid = inst_valid.reshape(W, R * M)
+    g = jnp.cumsum(flat_valid.astype(jnp.int32), axis=1) - 1  # [W, R*M]
+    g = g.reshape(W, R, M)
+    pos0 = moff == 0
+    is_last = moff == (n_mers[:, :, None] - 1)
+    t_read = 2 * g - (~pos0).astype(jnp.int32)  # 2g for first, 2g-1 else
+    n_read_inst = flat_valid.sum(axis=1).astype(jnp.int32)  # [W]
+
+    # ---- ref-read / proj / index instances -----------------------------
+    praw = _pack_mers(raw, K)  # [W, Mraw]
+    p_fhi, p_flo, p_rhi, p_rlo, p_ok = praw
+    p_isF = _lex_less(p_fhi, p_flo, p_rhi, p_rlo, K)
+    p_hi = jnp.where(p_isF, p_fhi, p_rhi)
+    p_lo = jnp.where(p_isF, p_flo, p_rlo)
+    roff = jnp.arange(Mraw, dtype=jnp.int32)[None, :]
+    # ref read: mers 0..rawlen-K (the full window, final mer included)
+    ref_nmers = jnp.maximum(rawlen - K + 1, 0)
+    ref_use = (rawlen - K) > 0
+    ref_valid = (roff < ref_nmers[:, None]) & p_ok & ref_use[:, None]
+    ref_g = n_read_inst[:, None] + roff
+    ref_pos0 = roff == 0
+    ref_last = roff == (ref_nmers[:, None] - 1)
+    t_ref = 2 * ref_g - (~ref_pos0).astype(jnp.int32)
+    # proj: rawseq mers 0..rawlen-K-1 (final mer excluded, Ref.cc:51)
+    proj_valid = (roff < (rawlen[:, None] - K)) & p_ok
+    # index: seq mers 0..seqlen-K-1, seq = raw[seq_off : seq_off+seq_len]
+    idx_pos = seq_off[:, None] + roff
+    idx_valid = (roff < (seq_len[:, None] - K)) & (idx_pos < Mraw)
+    ip = jnp.clip(idx_pos, 0, Mraw - 1)
+    i_hi = jnp.take_along_axis(p_hi, ip, axis=1)
+    i_lo = jnp.take_along_axis(p_lo, ip, axis=1)
+    i_ok = jnp.take_along_axis(p_ok, ip, axis=1)
+    idx_valid = idx_valid & i_ok
+
+    # ---- combined instance table ---------------------------------------
+    # order: read part, ref-read part, proj part, index part
+    I = R * M + 3 * Mraw
+    wid = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32)[:, None], (W, I))
+
+    def cat(a_read, a_ref, a_proj, a_idx):
+        return jnp.concatenate(
+            [a_read.reshape(W, R * M), a_ref, a_proj, a_idx], axis=1)
+
+    okW = window_ok[:, None]
+    zero_rm = jnp.zeros((W, Mraw), bool)
+    a_hi = cat(mhi, p_hi, p_hi, i_hi)
+    a_lo = cat(mlo, p_lo, p_lo, i_lo)
+    a_valid = cat(inst_valid, ref_valid, proj_valid, idx_valid) & okW
+    a_isread = cat(inst_valid, ref_valid, zero_rm, zero_rm) & okW
+    a_isidx = cat(jnp.zeros((W, R, M), bool), zero_rm, zero_rm,
+                  idx_valid) & okW
+    big = jnp.int32(1 << 30)
+    a_time = cat(t_read, t_ref, jnp.full((W, Mraw), big),
+                 jnp.full((W, Mraw), big))
+    samp = jnp.broadcast_to(rsample[:, :, None].astype(jnp.int8), (W, R, M))
+    ref_s = jnp.full((W, Mraw), S_REF, jnp.int8)
+    pad_s = jnp.full((W, Mraw), 7, jnp.int8)
+    a_samp = cat(samp, ref_s, pad_s, pad_s)
+    strd = jnp.broadcast_to(rstrand[:, :, None].astype(jnp.int8), (W, R, M))
+    zero_s = jnp.zeros((W, Mraw), jnp.int8)
+    a_strand = cat(strd, zero_s, zero_s, zero_s)
+    zero_u = jnp.zeros((W, Mraw), jnp.uint32)
+    a_qok = cat(qok_bits, zero_u, zero_u, zero_u)
+    # tumor-status flag: instance participates in a quality-clean tumor
+    # pair as u (pair m) or v (pair m-1)
+    pair_ok = pairq & (samp == S_TMR) & ~is_last & inst_valid
+    prev_pair_ok = jnp.pad(pair_ok[:, :, :-1], ((0, 0), (0, 0), (1, 0)))
+    a_tflag = cat(pair_ok | prev_pair_ok, zero_rm, zero_rm, zero_rm)
+
+    # invalid instances sort to the end of their window segment
+    key_hi = jnp.where(a_valid, a_hi, jnp.uint32(0xFFFFFFFF))
+    key_lo = jnp.where(a_valid, a_lo, jnp.uint32(0xFFFFFFFF))
+    src_idx = jnp.broadcast_to(
+        jnp.arange(I, dtype=jnp.int32)[None, :], (W, I))
+    _, _, perm = jax.lax.sort(
+        (key_hi, key_lo, src_idx), num_keys=2, dimension=1, is_stable=True)
+
+    def gather(a):
+        return jnp.take_along_axis(a, perm, axis=1)
+
+    s_hi = gather(key_hi)
+    s_lo = gather(key_lo)
+    s_valid = gather(a_valid)
+    s_isread = gather(a_isread)
+    s_isidx = gather(a_isidx)
+    s_time = gather(a_time)
+    s_samp = gather(a_samp)
+    s_strand = gather(a_strand)
+    s_qok = gather(a_qok)
+    s_tflag = gather(a_tflag)
+
+    # group boundaries per window (invalid tail forms its own groups that
+    # we drop via s_valid)
+    newg = jnp.ones((W, I), bool)
+    newg = newg.at[:, 1:].set((s_hi[:, 1:] != s_hi[:, :-1])
+                              | (s_lo[:, 1:] != s_lo[:, :-1]))
+    newg = newg & s_valid
+    gid_in_w = jnp.cumsum(newg.astype(jnp.int32), axis=1) - 1  # [W, I]
+    n_groups = jnp.max(jnp.where(s_valid, gid_in_w + 1, 0), axis=1)  # [W]
+    over_n = n_groups > N
+
+    # aggregate per group with segment ops over [W, N+1]; slot N is the
+    # dump segment for invalid/overflow instances so slot N-1 stays clean
+    NS = N + 1
+    seg = jnp.where(s_valid, jnp.minimum(gid_in_w, N), N)
+    seg_full = (wid * NS + seg).reshape(-1)
+
+    def seg_sum(vals, dtype=jnp.int32):
+        v = vals.astype(dtype).reshape(W * I, *vals.shape[2:])
+        return jax.ops.segment_sum(
+            v, seg_full, num_segments=W * NS).reshape(
+                W, NS, *vals.shape[2:])[:, :N]
+
+    def seg_min(vals):
+        v = vals.reshape(-1)
+        return jax.ops.segment_min(
+            v, seg_full, num_segments=W * NS).reshape(W, NS)[:, :N]
+
+    def seg_any(mask):
+        return seg_sum(mask) > 0
+
+    is_cov = s_isread & (s_samp != S_REF)  # coverage visits (no dedup skip)
+    cnt_tf = seg_sum(is_cov & (s_samp == S_TMR) & (s_strand == 0))
+    cnt_tr = seg_sum(is_cov & (s_samp == S_TMR) & (s_strand != 0))
+    cnt_nf = seg_sum(is_cov & (s_samp == S_NML) & (s_strand == 0))
+    cnt_nr = seg_sum(is_cov & (s_samp == S_NML) & (s_strand != 0))
+
+    # per-base qual-ok counts [W, N, K] per class
+    qbase = ((s_qok[:, :, None] >> jnp.arange(K, dtype=jnp.uint32)) & 1
+             ).astype(jnp.int16)  # [W, I, K]
+
+    def seg_sum_k(mask):
+        v = (qbase * mask[:, :, None]).reshape(W * I, K)
+        return jax.ops.segment_sum(
+            v.astype(jnp.int32), seg_full,
+            num_segments=W * NS).reshape(W, NS, K)[:, :N]
+
+    mq_tf = seg_sum_k(is_cov & (s_samp == S_TMR) & (s_strand == 0))
+    mq_tr = seg_sum_k(is_cov & (s_samp == S_TMR) & (s_strand != 0))
+    mq_nf = seg_sum_k(is_cov & (s_samp == S_NML) & (s_strand == 0))
+    mq_nr = seg_sum_k(is_cov & (s_samp == S_NML) & (s_strand != 0))
+
+    has_node = seg_any(s_isread)
+    in_index = seg_any(s_isidx)
+    is_normal = seg_any(s_isread & (s_samp == S_NML))
+    is_tumor = seg_any(s_tflag)
+    first_time = seg_min(jnp.where(s_isread, s_time, big))
+    g_hi = seg_min(s_hi)  # all values in a group are equal
+    g_lo = seg_min(s_lo)
+    # ---- creation order ------------------------------------------------
+    # node index = rank of first_time among this window's node groups
+    node_key = jnp.where(has_node, first_time, big)
+    order = jnp.argsort(node_key, axis=1)  # [W, crea] -> group slot
+    crea_of_group = jnp.argsort(order, axis=1)  # [W, gslot] -> crea idx
+    n_nodes = has_node.sum(axis=1).astype(jnp.int32)
+
+    def to_crea(a):
+        idx = jnp.broadcast_to(
+            order.reshape((W, N) + (1,) * (a.ndim - 2)), a.shape)
+        return jnp.take_along_axis(a, idx, axis=1)
+
+    mers_hi = to_crea(g_hi)
+    mers_lo = to_crea(g_lo)
+    counts = jnp.stack([to_crea(cnt_tf), to_crea(cnt_tr),
+                        to_crea(cnt_nf), to_crea(cnt_nr)], axis=-1)
+    mq = jnp.stack([to_crea(mq_tf), to_crea(mq_tr),
+                    to_crea(mq_nf), to_crea(mq_nr)], axis=-1)  # [W,N,K,4]
+    n_in_index = to_crea(in_index)
+    n_is_normal = to_crea(is_normal)
+    n_is_tumor = to_crea(is_tumor)
+    n_exists = to_crea(has_node)
+
+    # ---- prune (fused markRefNodes + removeLowCov(False, 0)) ----------
+    totq = mq.sum(axis=-1)  # [W, N, K]
+    mincov_qv = jnp.where(n_exists, totq.min(axis=-1), 0)
+    tot_t = counts[..., 0] + counts[..., 1]
+    tot_n = counts[..., 2] + counts[..., 3]
+    avgcov = totalreadbp.astype(jnp.float32) / jnp.maximum(
+        rawlen.astype(jnp.float32), 1.0)
+    low = ((mincov_qv <= low_cov_threshold)
+           | (mincov_qv.astype(jnp.float32)
+              <= min_cov_ratio * avgcov[:, None])
+           | ((tot_t == 1) & (tot_n == 1)))
+    alive = n_exists & ~low
+
+    # ---- edges ---------------------------------------------------------
+    # pair p at read instance offset m: u = inst m, v = inst m+1.
+    # crea node id per instance: group slot -> crea index
+    crea_inst = jnp.take_along_axis(
+        crea_of_group, jnp.minimum(gid_in_w, N - 1), axis=1)
+    crea_inst = jnp.where(s_valid & (gid_in_w < N), crea_inst, -1)
+    # nid_orig[w, i] = crea id of instance i (original instance order)
+    nid_orig = jnp.take_along_axis(crea_inst, jnp.argsort(perm, axis=1),
+                                   axis=1)
+
+    nid_read = nid_orig[:, : R * M].reshape(W, R, M)
+    nid_ref = nid_orig[:, R * M : R * M + Mraw]
+    nid_proj = nid_orig[:, R * M + Mraw : R * M + 2 * Mraw]
+
+    pair_mask = inst_valid & ~is_last  # u side of pair m; v = m+1
+    u = nid_read.reshape(W, R * M)
+    v = jnp.pad(nid_read[:, :, 1:], ((0, 0), (0, 0), (0, 1)),
+                constant_values=-1).reshape(W, R * M)
+    uF = isF.reshape(W, R * M)
+    vF = jnp.pad(isF[:, :, 1:], ((0, 0), (0, 0), (0, 1))).reshape(W, R * M)
+    tpair = (2 * g).reshape(W, R * M)  # u->v at 2p, v->u at 2p+1
+    pm = pair_mask.reshape(W, R * M)
+
+    # ref-read pairs
+    ref_pm = ref_valid & ~ref_last
+    ru = nid_ref
+    rv = jnp.pad(nid_ref[:, 1:], ((0, 0), (0, 1)), constant_values=-1)
+    ruF = p_isF
+    rvF = jnp.pad(p_isF[:, 1:], ((0, 0), (0, 1)))
+    rtpair = 2 * ref_g
+
+    PU = R * M + Mraw
+    pu_src = jnp.concatenate([u, ru], axis=1)
+    pu_dst = jnp.concatenate([v, rv], axis=1)
+    pu_uF = jnp.concatenate([uF, ruF], axis=1)
+    pu_vF = jnp.concatenate([vF, rvF], axis=1)
+    pu_t = jnp.concatenate([tpair, rtpair], axis=1)
+    pu_m = jnp.concatenate([pm, ref_pm], axis=1)
+    fdir = (1 - pu_uF.astype(jnp.int32)) * 2 + (1 - pu_vF.astype(jnp.int32))
+    rdir = fliplink_code(fdir)
+
+    EI = 2 * PU
+
+    def flat2(a, b):
+        return jnp.concatenate([a, b], axis=1)
+
+    e_src = flat2(pu_src, pu_dst)
+    e_dst = flat2(pu_dst, pu_src)
+    e_dir = flat2(fdir, rdir)
+    e_time = flat2(pu_t, pu_t + 1)
+    e_valid = flat2(pu_m, pu_m) & okW
+
+    # sort by (w implicit, src, dst, dir); dedup min-time
+    ekey1 = jnp.where(e_valid, e_src, I32_MAX)
+    ekey2 = jnp.where(e_valid, e_dst, I32_MAX)
+    ekey3 = jnp.where(e_valid, e_dir, I32_MAX)
+    eidx = jnp.broadcast_to(
+        jnp.arange(EI, dtype=jnp.int32)[None, :], (W, EI))
+    k1, k2, k3, eperm = jax.lax.sort(
+        (ekey1, ekey2, ekey3, eidx), num_keys=3, dimension=1,
+        is_stable=False)
+    et = jnp.take_along_axis(e_time, eperm, axis=1)
+    ev = jnp.take_along_axis(e_valid, eperm, axis=1)
+    enew = jnp.ones((W, EI), bool)
+    enew = enew.at[:, 1:].set((k1[:, 1:] != k1[:, :-1])
+                              | (k2[:, 1:] != k2[:, :-1])
+                              | (k3[:, 1:] != k3[:, :-1]))
+    enew = enew & ev
+    egid = jnp.cumsum(enew.astype(jnp.int32), axis=1) - 1
+    n_edges = jnp.max(jnp.where(ev, egid + 1, 0), axis=1)
+    over_e = n_edges > E
+    ES = E + 1  # slot E = dump segment
+    wid_e = jnp.broadcast_to(
+        jnp.arange(W, dtype=jnp.int32)[:, None], (W, EI))
+    eseg = (wid_e * ES
+            + jnp.where(ev, jnp.minimum(egid, E), E)).reshape(-1)
+
+    def eseg_min(vals, fill):
+        v = jnp.where(ev, vals, fill).reshape(-1)
+        return jax.ops.segment_min(
+            v, eseg, num_segments=W * ES).reshape(W, ES)[:, :E]
+
+    ue_src = eseg_min(k1, I32_MAX)
+    ue_dst = eseg_min(k2, I32_MAX)
+    ue_dir = eseg_min(k3, I32_MAX)
+    ue_time = eseg_min(et, big)
+    ue_exists = jax.ops.segment_sum(
+        ev.astype(jnp.int32).reshape(-1), eseg,
+        num_segments=W * ES).reshape(W, ES)[:, :E] > 0
+
+    # order edges by first-occurrence time (the oracle's eorder)
+    et_key = jnp.where(ue_exists, ue_time, big)
+    eorder = jnp.argsort(et_key, axis=1)
+
+    def e_to_time_order(a, fill):
+        out = jnp.take_along_axis(a, eorder, axis=1)
+        return jnp.where(
+            jnp.take_along_axis(ue_exists, eorder, axis=1), out, fill)
+
+    edge_src = e_to_time_order(ue_src, -1)
+    edge_dst = e_to_time_order(ue_dst, -1)
+    edge_dir = e_to_time_order(ue_dir, 0).astype(jnp.int8)
+    edge_exists = edge_src >= 0
+
+    # ---- per-node out-edge adjacency (time-ordered slots) -------------
+    # rank of each edge within its source node by time
+    adj_rank_key1 = jnp.where(edge_exists, edge_src, I32_MAX)
+    aidx = jnp.broadcast_to(
+        jnp.arange(E, dtype=jnp.int32)[None, :], (W, E))
+    ak1, aperm = jax.lax.sort((adj_rank_key1, aidx), num_keys=1,
+                              dimension=1, is_stable=True)
+    # edges already time-ordered, so a stable sort by src keeps time order
+    anew = jnp.ones((W, E), bool)
+    anew = anew.at[:, 1:].set(ak1[:, 1:] != ak1[:, :-1])
+    run_start = _cummax(jnp.where(anew, aidx, 0), axis=1)
+    slot = aidx - run_start  # position within the node's edge run
+    a_exists = jnp.take_along_axis(edge_exists, aperm, axis=1)
+    over_d = jnp.max(jnp.where(a_exists, slot + 1, 0), axis=1) > D
+    # adjacency [W, N, D] of edge ids (index into time-ordered edge table)
+    wid_a = jnp.broadcast_to(
+        jnp.arange(W, dtype=jnp.int32)[:, None], (W, E))
+    srcs = jnp.where(a_exists & (slot < D), ak1, N)  # N = dropped
+    adj = jnp.full((W, N, D), -1, jnp.int32)
+    adj = adj.at[wid_a, srcs, jnp.minimum(slot, D - 1)].set(
+        aperm, mode="drop")
+    deg = jax.ops.segment_sum(
+        a_exists.astype(jnp.int32).reshape(-1),
+        (wid_a * NS + jnp.where(a_exists, ak1, N)).reshape(-1),
+        num_segments=W * NS).reshape(W, NS)[:, :N]
+
+    # ---- reference coverage projection (Ref.cc:173-250) ---------------
+    # per node per sample: seen_f/seen_r -> value = count if in_index
+    def proj_val(cnt, seen_col):
+        val = jnp.where(n_in_index & (seen_col > 0), cnt, 0)  # [W, N]
+        safe = jnp.clip(nid_proj, 0, N - 1)
+        pv = jnp.take_along_axis(val, safe, axis=1)
+        return jnp.where(nid_proj >= 0, pv, 0)  # [W, Mraw]
+
+    pv_tf = proj_val(counts[..., 0], counts[..., 0])
+    pv_tr = proj_val(counts[..., 1], counts[..., 1])
+    pv_nf = proj_val(counts[..., 2], counts[..., 2])
+    pv_nr = proj_val(counts[..., 3], counts[..., 3])
+    # mer i covers base i+K-1; mer 0 covers bases 0..K-1
+    refcov = jnp.zeros((W, Lraw, 4), jnp.int32)
+    pvals = jnp.stack([pv_tf, pv_tr, pv_nf, pv_nr], axis=-1)  # [W,Mraw,4]
+    n_proj = jnp.maximum(rawlen - K, 0)
+    pvalid = roff < n_proj[:, None]
+    pv_masked = jnp.where(pvalid[:, :, None], pvals, 0)
+    refcov = refcov.at[:, K - 1 :, :].set(
+        pv_masked[:, : Lraw - K + 1, :])
+    first_row = jnp.where((n_proj > 0)[:, None], pvals[:, 0, :], 0)
+    refcov = refcov.at[:, : K - 1, :].set(
+        jnp.broadcast_to(first_row[:, None, :], (W, K - 1, 4)))
+
+    # ---- mate-overlap candidate detection ------------------------------
+    # second sort keyed (mer, frag): a run holding both mate orders of one
+    # fragment is a hasOverlappingMate candidate -> window fallback
+    frag = jnp.broadcast_to(rfrag[:, :, None], (W, R, M)).reshape(W, R * M)
+    order_r = jnp.broadcast_to(
+        rorder[:, :, None], (W, R, M)).reshape(W, R * M)
+    paired = (order_r > 0) & flat_valid
+    IP = R * M
+    fkey_hi = jnp.where(paired, mhi.reshape(W, IP), jnp.uint32(0xFFFFFFFF))
+    fkey_lo = jnp.where(paired, mlo.reshape(W, IP), jnp.uint32(0xFFFFFFFF))
+    fkey_fr = jnp.where(paired, frag, I32_MAX)
+    fo = jnp.where(paired, order_r.astype(jnp.int32), 0)
+    fh, fl, ff,ford = jax.lax.sort(
+        (fkey_hi, fkey_lo, fkey_fr, fo), num_keys=3, dimension=1,
+        is_stable=False)
+    same = ((fh[:, 1:] == fh[:, :-1]) & (fl[:, 1:] == fl[:, :-1])
+            & (ff[:, 1:] == ff[:, :-1]) & (ff[:, 1:] != I32_MAX))
+    cand = same & (ford[:, 1:] != ford[:, :-1]) & (ford[:, 1:] > 0) \
+        & (ford[:, :-1] > 0)
+    mate_cand = cand.any(axis=1) & window_ok
+
+    fallback = (over_n | over_e | over_d | mate_cand) & window_ok
+
+    return {
+        "mers_hi": mers_hi, "mers_lo": mers_lo,
+        "counts": counts, "mq": mq.astype(jnp.int16), "totq": totq,
+        "mincov_qv": mincov_qv,
+        "exists": n_exists, "alive": alive, "low": low,
+        "in_index": n_in_index, "is_tumor": n_is_tumor,
+        "is_normal": n_is_normal,
+        "n_nodes": n_nodes, "n_edges": n_edges,
+        "edge_src": edge_src, "edge_dst": edge_dst, "edge_dir": edge_dir,
+        "edge_exists": edge_exists,
+        "adj": adj, "deg": deg,
+        "nid_proj": nid_proj, "refcov": refcov,
+        "avgcov": avgcov,
+        "mate_cand": mate_cand,
+        "fallback": fallback,
+    }
