@@ -180,8 +180,10 @@ def build_k(K, bases, quals, rlen, rsample, rstrand, rfrag, rorder,
     ref_pos0 = roff == 0
     ref_last = roff == (ref_nmers[:, None] - 1)
     t_ref = 2 * ref_g - (~ref_pos0).astype(jnp.int32)
-    # proj: rawseq mers 0..rawlen-K-1 (final mer excluded, Ref.cc:51)
-    proj_valid = (roff < (rawlen[:, None] - K)) & p_ok
+    # proj: every full-K rawseq mer 0..rawlen-K. The coverage projection
+    # excludes the final mer (Ref.cc:51) via its own mask below, but the
+    # source/sink anchor scan (Graph.cc:2028-2228) does consult it.
+    proj_valid = (roff < (rawlen[:, None] - K + 1)) & p_ok
     # index: seq mers 0..seqlen-K-1, seq = raw[seq_off : seq_off+seq_len]
     idx_pos = seq_off[:, None] + roff
     idx_valid = (roff < (seq_len[:, None] - K)) & (idx_pos < Mraw)
@@ -530,7 +532,7 @@ def build_k(K, bases, quals, rlen, rsample, rstrand, rfrag, rorder,
         "edge_src": edge_src, "edge_dst": edge_dst, "edge_dir": edge_dir,
         "edge_exists": edge_exists,
         "adj": adj, "deg": deg,
-        "nid_proj": nid_proj, "refcov": refcov,
+        "nid_proj": nid_proj, "proj_isF": p_isF, "refcov": refcov,
         "avgcov": avgcov,
         "mate_cand": mate_cand,
         "fallback": fallback,

@@ -115,6 +115,35 @@ def gathered_reads(graph, refinfo):
     return reads, totalreadbp
 
 
+def map_ranks(mer_strings: list[str]) -> tuple[np.ndarray, int]:
+    """libstdc++ unordered_map iteration ranks for keys inserted in
+    creation order (the reference's node-table order — survivor choice
+    and component numbering depend on it; see lancet_tpu.cpp_hash).
+
+    Returns (ranks int32 [n], slack) where slack = remaining insert
+    headroom before the next rehash: fake source/sink inserts
+    (Graph.cc:2156-2227) only perturb iteration order via a rehash, so a
+    window whose slack can't absorb them must fall back to native.
+    Uses the native C++ rank kernel when available."""
+    n = len(mer_strings)
+    if n == 0:
+        return np.zeros(0, np.int32), 1 << 30
+    try:
+        from ..native import lmo_ranks
+
+        return lmo_ranks(mer_strings)
+    except Exception:
+        pass
+    from ..cpp_hash import CppUnorderedMap
+
+    m = CppUnorderedMap()
+    for s in mer_strings:
+        m[s] = None
+    order = {k: i for i, k in enumerate(m.keys())}
+    ranks = np.fromiter((order[s] for s in mer_strings), np.int32, n)
+    return ranks, m._next_resize - n
+
+
 def unpack_mers(hi: np.ndarray, lo: np.ndarray, K: int) -> list[str]:
     """Packed (hi, lo) -> mer strings (for the host map-order ranks)."""
     n = hi.shape[0]
