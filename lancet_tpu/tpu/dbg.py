@@ -533,7 +533,7 @@ def build_k(K, bases, quals, rlen, rsample, rstrand, rfrag, rorder,
         "edge_exists": edge_exists,
         "adj": adj, "deg": deg,
         "nid_proj": nid_proj, "proj_isF": p_isF, "refcov": refcov,
-        "avgcov": avgcov,
+        "avgcov": avgcov, "rawlen_dev": rawlen,
         "mate_cand": mate_cand,
         "fallback": fallback,
     }

@@ -331,8 +331,412 @@ def chain_jump(lnk, NI, rounds=17):
 
 
 # ---------------------------------------------------------------------------
+# cleanup sweeps (ref: Graph.cc:2790-2926)
+# ---------------------------------------------------------------------------
+
+def item_mincovs(st, K, N, NI):
+    """Per-item (mincov, mincov_qv) over the donor structure: a fully
+    trimmed mer no longer donates bases (Node.cc:600-615 computed over
+    the concatenated cov arrays)."""
+    totq = st["mer_totq"]  # [W, N, K] per-mer per-base total qual counts
+    tot = st["mer_tot"]  # [W, N] per-mer total coverage
+    klo, khi = st["keep_lo"], st["keep_hi"]
+    flip = st["mer_flip"]
+    W, NM = tot.shape
+    # canonical-coordinate kept interval
+    clo = jnp.where(flip, K - khi, klo)
+    chi = jnp.where(flip, K - klo, khi)
+    j = jnp.arange(K, dtype=jnp.int32)[None, None, :]
+    inside = (j >= clo[:, :, None]) & (j < chi[:, :, None])
+    mq_min = jnp.where(inside, totq, BIG).min(axis=-1)  # [W, N]
+    width = khi - klo
+    mi = jnp.where(width > 0, jnp.clip(st["mer_item"], 0, NI - 1), NI - 1)
+    mincov = jnp.full((W, NI), BIG, jnp.int32).at[
+        _wid(W, NM), mi].min(jnp.where(width > 0, tot, BIG))
+    mincov_qv = jnp.full((W, NI), BIG, jnp.int32).at[
+        _wid(W, NM), mi].min(jnp.where(width > 0, mq_min, BIG))
+    return mincov, mincov_qv
+
+
+def remove_items(st, removed):
+    """Kill items + every edge touching them (remove_node semantics)."""
+    e_src, e_dst = st["e_src"], st["e_dst"]
+    NI = st["alive"].shape[1]
+    gone = (jnp.take_along_axis(removed, jnp.clip(e_src, 0, NI - 1), 1)
+            | jnp.take_along_axis(removed, jnp.clip(e_dst, 0, NI - 1), 1))
+    out = dict(st)
+    out["alive"] = st["alive"] & ~removed
+    out["e_alive"] = st["e_alive"] & ~gone
+    return out
+
+
+def low_cov_pass(st, K, N, NI, low_cov_threshold, min_cov_ratio, avgcov):
+    """removeLowCov(true, c) for every component at once
+    (Graph.cc:2790-2827); coverage==1 tests use the exact rational
+    csum/merlen instead of the float cascade."""
+    mincov, mincov_qv = item_mincovs(st, K, N, NI)
+    csum, merlen = st["csum"], st["merlen"]
+    tot_t = csum[..., 0] + csum[..., 1]
+    tot_n = csum[..., 2] + csum[..., 3]
+    low = (st["alive"] & ~st["special"]
+           & ((mincov_qv <= low_cov_threshold)
+              | (mincov_qv.astype(jnp.float32)
+                 <= min_cov_ratio * avgcov[:, None])
+              | ((tot_t == merlen) & (tot_n == merlen) & (merlen > 0))))
+    return remove_items(st, low), low.any(axis=1)
+
+
+def _rank_slots(st, U):
+    """Alive non-special items in map-rank order -> [W, U] (id or -1)."""
+    alive = st["alive"] & ~st["special"]
+    key = jnp.where(alive, st["rank"], BIG)
+    order = jnp.argsort(key, axis=1)[:, :U]
+    n = alive.sum(axis=1)
+    slot_ok = jnp.arange(U, dtype=jnp.int32)[None, :] < n[:, None]
+    return jnp.where(slot_ok, order, -1), n > U
+
+
+def _nbr_table(st, NI, D2):
+    """[W, NI, D2] alive-edge dst per item (any okey order — only used
+    for degree decrements) + deg [W, NI] + overflow flag."""
+    e_src, e_dst, e_alive = st["e_src"], st["e_dst"], st["e_alive"]
+    W, EE = e_src.shape
+    key = jnp.where(e_alive, e_src, BIG)
+    eidx = jnp.broadcast_to(jnp.arange(EE, dtype=jnp.int32)[None], (W, EE))
+    k1, perm = jax.lax.sort((key, eidx), num_keys=1, dimension=1,
+                            is_stable=True)
+    newrun = jnp.ones((W, EE), bool)
+    newrun = newrun.at[:, 1:].set(k1[:, 1:] != k1[:, :-1])
+    run_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(newrun, eidx, 0), axis=1)
+    slot = eidx - run_start
+    ea = jnp.take_along_axis(e_alive, perm, 1)
+    over = jnp.max(jnp.where(ea, slot + 1, 0), axis=1) > D2
+    nbr = jnp.full((W, NI, D2), -1, jnp.int32)
+    srcs = jnp.where(ea & (slot < D2), k1, NI)
+    nbr = nbr.at[_wid(W, EE), srcs, jnp.minimum(slot, D2 - 1)].set(
+        jnp.take_along_axis(e_dst, perm, 1), mode="drop")
+    dg = jnp.zeros((W, NI + 1), jnp.int32).at[
+        _wid(W, EE), jnp.where(e_alive, e_src, NI)].add(
+        jnp.where(e_alive, 1, 0))[:, :NI]
+    return nbr, dg, over
+
+
+def _seq_removal_pass(st, cond_fn, U, D2):
+    """One sequential map-rank-order sweep: remove items satisfying
+    cond_fn(item_state, live_deg), updating neighbor degrees as the
+    reference's in-place edge surgery does (removeTips/removeShortLinks
+    iterate the live map). Returns (updated st, removed_any [W])."""
+    NI = st["alive"].shape[1]
+    W = st["alive"].shape[0]
+    slots, over = _rank_slots(st, U)
+    nbr, deg, over2 = _nbr_table(st, NI, D2)
+    wrow = jnp.arange(W, dtype=jnp.int32)
+
+    def body(carry, i):
+        deg, removed = carry
+        it = slots[:, i]
+        safe = jnp.clip(it, 0, NI - 1)
+        on = (it >= 0) & ~jnp.take_along_axis(
+            removed, safe[:, None], 1)[:, 0]
+        d = jnp.take_along_axis(deg, safe[:, None], 1)[:, 0]
+        kill = on & cond_fn(safe, d)
+        # decrement neighbor degrees once per alive edge row
+        for s in range(D2):
+            nb = nbr[wrow, safe, s]
+            ok = kill & (nb >= 0) & (nb != safe) & ~jnp.take_along_axis(
+                removed, jnp.clip(nb, 0, NI - 1)[:, None], 1)[:, 0]
+            deg = deg.at[wrow, jnp.where(ok, nb, NI - 1)].add(
+                jnp.where(ok, -1, 0))
+        removed = removed.at[wrow, safe].set(
+            jnp.take_along_axis(removed, safe[:, None], 1)[:, 0] | kill)
+        return (deg, removed), kill
+
+    (deg, removed), kills = jax.lax.scan(
+        body, (deg, jnp.zeros((W, NI), bool)),
+        jnp.arange(U, dtype=jnp.int32))
+    removed_any = removed.any(axis=1)
+    return remove_items(st, removed), removed_any, over | over2
+
+
+# ---------------------------------------------------------------------------
+# findTandems position probe (ref: util.cc:574-758) for the short-link
+# STR guard: is position K-1 within dist_from_str of a reported tandem?
+# ---------------------------------------------------------------------------
+
+def tandem_at(seqs, lens, pos, max_unit_len, min_report_units,
+              min_report_len, dist_from_str):
+    """Exact findTandems replay asking only whether `pos` lies within
+    dist_from_str of a reported tandem (ref: util.cc:574-758, mirrored
+    by engine.seqs.find_tandems incl. the offset-(-1) sentinel quirk).
+
+    seqs [B, L] int32 codes (invalid >= 4), lens [B], pos scalar.
+    Sequential lax.scan over i — callers pass short strings (the
+    short-link guard's candidates are < 1.5K bases)."""
+    B, L = seqs.shape
+    # index-unique codes for positions beyond lens so padding never
+    # matches (ml <= 4 apart comparisons)
+    posi = jnp.arange(L, dtype=jnp.int32)[None, :]
+    eff = jnp.where(posi < lens[:, None], seqs.astype(jnp.int32),
+                    100 + (posi % 50))
+
+    def gb(i):
+        """base at i ([B] or scalar), index-unique sentinels OOB."""
+        i = jnp.broadcast_to(jnp.asarray(i, jnp.int32), (B,))
+        ic = jnp.clip(i, 0, L - 1)
+        v = jnp.take_along_axis(eff, ic[:, None], 1)[:, 0]
+        return jnp.where((i >= 0) & (i < L), v, 300 + jnp.abs(i) % 97)
+
+    # per-ml mismatch prefix sums: mis_ml[i] = (eff[i] != eff[i+ml])
+    csm = {}
+    for ml in range(1, max_unit_len):
+        mis = jnp.ones((B, L), jnp.int32)
+        mis = mis.at[:, : L - ml].set(
+            (eff[:, : L - ml] != eff[:, ml:]).astype(jnp.int32))
+        csm[ml] = jnp.concatenate(
+            [jnp.zeros((B, 1), jnp.int32), jnp.cumsum(mis, axis=1)], axis=1)
+
+    def mis_range(ml, a, b):
+        """# of ml-mismatches over positions [a, b) (b<=a -> 0)."""
+        aa = jnp.clip(a, 0, L)
+        bb = jnp.clip(b, 0, L)
+        s = jnp.take_along_axis(csm[ml], bb[:, None], 1)[:, 0] \
+            - jnp.take_along_axis(csm[ml], aa[:, None], 1)[:, 0]
+        return jnp.where(b > a, s, 0)
+
+    offs0 = jnp.zeros((B, max_unit_len + 1, max_unit_len), jnp.int32)
+    for m in range(1, max_unit_len + 1):
+        for p in range(m):
+            offs0 = offs0.at[:, m, p].set(p)
+
+    def body(carry, i):
+        offs, ans = carry
+        for m in range(1, max_unit_len + 1):
+            p = i % m
+            offset = jax.lax.dynamic_index_in_dim(
+                offs[:, m, :], p, axis=1, keepdims=False)
+            j = jnp.zeros((B,), jnp.int32)
+            still = jnp.ones((B,), bool)
+            for jj in range(m):
+                okj = (still & (i + jj < lens)
+                       & (gb(i + jj) == gb(offset + jj)))
+                j = j + okj.astype(jnp.int32)
+                still = okj
+            brk = (j != m) | (i + j + 1 == lens)
+            left = gb(offset - 1)
+            lastu = gb(offset + m - 1)
+            report = brk & (left != lastu)
+            units_ok = ((i - offset) // m >= min_report_units) \
+                & ((i - offset) >= min_report_len)
+            prim = jnp.ones((B,), bool)
+            for ml in range(1, m):
+                units = (i - offset + j) // ml
+                periodic = mis_range(ml, offset,
+                                     offset + units * ml - ml) == 0
+                prim = prim & ~periodic
+            hit = report & units_ok & prim & (i < lens)
+            inrange = (pos >= offset - dist_from_str) \
+                & (pos <= i + j + dist_from_str)
+            ans = ans | (hit & inrange)
+            # the offset table advances only on a break — `offset` is the
+            # start of the current run (util.cc's update sits inside the
+            # break branch)
+            offs = offs.at[:, m].set(
+                jax.lax.dynamic_update_index_in_dim(
+                    offs[:, m, :],
+                    jnp.where(brk & (i < lens), i, offset), p, axis=1))
+        return (offs, ans), None
+
+    (_, ans), _ = jax.lax.scan(
+        body, (offs0, jnp.zeros((B,), bool)),
+        jnp.arange(L, dtype=jnp.int32))
+    return ans
+
+
+# ---------------------------------------------------------------------------
 # cycle gate (ref: Graph.cc:593-681) — port-graph boolean closure on MXU
 # ---------------------------------------------------------------------------
+
+def compress_round(st, K, NI, N, Dcap=64):
+    """One graph-wide compression pass (ref: Graph.cc:2486-2732): merge
+    every mutual-buddy chain into its lowest-map-rank member (the node
+    the reference's iteration reaches first), rewiring edges with the
+    orientation algebra and appending the terminals' outward edges in
+    F-side-then-R-side order; per-mer donor intervals lose K-1 entries
+    at each junction on the absorbed side.
+
+    `st` holds item/edge/mer arrays (see module docstring); returns the
+    updated dict plus a per-window fallback flag (mutual-buddy cycles
+    and mid-compress self-loop formation, which the sequential reference
+    handles with its tandem guard — rare; the native engine replays
+    them)."""
+    alive, special = st["alive"], st["special"]
+    rank, comp = st["rank"], st["comp"]
+    e_src, e_dst = st["e_src"], st["e_dst"]
+    e_dir, e_alive, e_okey = st["e_dir"], st["e_alive"], st["e_okey"]
+    W = alive.shape[0]
+    idx = jnp.broadcast_to(jnp.arange(NI, dtype=jnp.int32)[None], (W, NI))
+
+    e_okey = edge_renorm(e_src, e_okey, e_alive, NI)
+    lnk = links(e_src, e_dst, e_dir, e_alive, e_okey, alive, special, NI)
+    end_state, dist, chain_cyc = chain_jump(lnk, NI)
+    fallback = chain_cyc
+
+    endF = end_state.reshape(W, NI, 2)[:, :, 0] // 2
+    endR = end_state.reshape(W, NI, 2)[:, :, 1] // 2
+    distF = dist.reshape(W, NI, 2)[:, :, 0]
+    distR = dist.reshape(W, NI, 2)[:, :, 1]
+    label = jnp.minimum(endF, endR)
+    t_hi = jnp.maximum(endF, endR)
+    a_u = jnp.where(endF == t_hi, 0, 1)  # facing along walk t_lo -> t_hi
+    a_u = jnp.where(endF == endR, 0, a_u)
+    d_lo = jnp.where(endF == t_hi, distR, distF)
+
+    # survivor = min map-rank member of the chain. Ranks are capped to N
+    # (real node ranks < n_nodes <= N; specials carry a big sentinel that
+    # would overflow rank*NI — they are always singleton chains, so the
+    # cap cannot change a survivor choice).
+    rk = jnp.minimum(rank, N)
+    combo = jnp.where(alive, rk * NI + idx, BIG)
+    cmin = jnp.full((W, NI), BIG, jnp.int32).at[
+        _wid(W, NI), jnp.clip(label, 0, NI - 1)].min(combo)
+    s_item = jnp.take_along_axis(
+        cmin, jnp.clip(label, 0, NI - 1), 1) % NI
+    s_item = jnp.where(alive, s_item, idx)
+    a_s = jnp.take_along_axis(a_u, jnp.clip(s_item, 0, NI - 1), 1)
+    flip = ((a_u ^ a_s) == 1) & alive  # member orientation vs survivor
+
+    chain_items = jnp.zeros((W, NI), jnp.int32).at[
+        _wid(W, NI), jnp.clip(label, 0, NI - 1)].max(
+        jnp.where(alive, d_lo + 1, 0))
+    n_items = jnp.take_along_axis(
+        chain_items, jnp.clip(label, 0, NI - 1), 1)
+    pos_u = jnp.where(a_s == 0, d_lo, n_items - 1 - d_lo)
+    pos_s = jnp.take_along_axis(pos_u, jnp.clip(s_item, 0, NI - 1), 1)
+
+    # mer-offset of each item within its new unitig: sort items by
+    # (label, pos_u), run-prefix-sum merlen
+    merlen = st["merlen"]
+    skey1 = jnp.where(alive, label, BIG)
+    iidx = jnp.broadcast_to(jnp.arange(NI, dtype=jnp.int32)[None], (W, NI))
+    k1, k2, perm = jax.lax.sort(
+        (skey1, jnp.where(alive, pos_u, BIG), iidx), num_keys=2,
+        dimension=1, is_stable=False)
+    ml_sorted = jnp.take_along_axis(merlen, perm, 1)
+    csum_ml = jnp.cumsum(ml_sorted, axis=1)
+    newrun = jnp.ones((W, NI), bool)
+    newrun = newrun.at[:, 1:].set(k1[:, 1:] != k1[:, :-1])
+    run_base = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(newrun, csum_ml - ml_sorted, 0), axis=1)
+    start_sorted = csum_ml - ml_sorted - run_base
+    start_off = jnp.zeros((W, NI), jnp.int32).at[
+        _wid(W, NI), perm].set(start_sorted)
+
+    # ---- mer-level composition ----------------------------------------
+    mer_item = st["mer_item"]
+    mi = jnp.clip(mer_item, 0, NI - 1)
+    u_flip = jnp.take_along_axis(flip, mi, 1)
+    u_start = jnp.take_along_axis(start_off, mi, 1)
+    u_ml = jnp.take_along_axis(merlen, mi, 1)
+    mer_pos = st["mer_pos"]
+    new_pos = u_start + jnp.where(u_flip, u_ml - 1 - mer_pos, mer_pos)
+    new_flip = st["mer_flip"] ^ u_flip
+    klo, khi = st["keep_lo"], st["keep_hi"]
+    klo2 = jnp.where(u_flip, K - khi, klo)
+    khi2 = jnp.where(u_flip, K - klo, khi)
+
+    # junction trims: non-survivor members lose K-1 donor entries at
+    # their survivor-facing end (low side if the member sits after the
+    # survivor, else high side), in new-unitig coords
+    u_sitem = jnp.take_along_axis(s_item, mi, 1)
+    u_pos = jnp.take_along_axis(pos_u, mi, 1)
+    u_spos = jnp.take_along_axis(pos_s, mi, 1)
+    is_member = (u_sitem != mi)  # mer belongs to an absorbed item
+    facing_low = u_pos > u_spos
+    width = (khi2 - klo2).astype(jnp.int32)
+    # per-member donor prefix in new coords: sort mers by (item, new_pos)
+    NM = mer_item.shape[1]
+    mkey1 = jnp.where(is_member, mi, BIG)
+    midx = jnp.broadcast_to(jnp.arange(NM, dtype=jnp.int32)[None], (W, NM))
+    mk1, _, mperm = jax.lax.sort(
+        (mkey1, jnp.where(is_member, new_pos, BIG), midx), num_keys=2,
+        dimension=1, is_stable=False)
+    wsort = jnp.take_along_axis(width, mperm, 1)
+    cw = jnp.cumsum(wsort, axis=1)
+    mnew = jnp.ones((W, NM), bool)
+    mnew = mnew.at[:, 1:].set(mk1[:, 1:] != mk1[:, :-1])
+    mbase = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(mnew, cw - wsort, 0), axis=1)
+    before_sorted = cw - wsort - mbase
+    # member total widths
+    mtot = jnp.zeros((W, NI), jnp.int32).at[
+        _wid(W, NM), jnp.where(is_member, mi, NI - 1)].add(
+        jnp.where(is_member, width, 0))
+    before = jnp.zeros((W, NM), jnp.int32).at[
+        _wid(W, NM), mperm].set(before_sorted)
+    after = jnp.take_along_axis(mtot, mi, 1) - before - width
+    cut_lo = jnp.clip(K - 1 - before, 0, width)
+    cut_hi = jnp.clip(K - 1 - after, 0, width)
+    klo3 = jnp.where(is_member & facing_low, klo2 + cut_lo, klo2)
+    khi3 = jnp.where(is_member & ~facing_low, khi2 - cut_hi, khi2)
+
+    # ---- edge updates --------------------------------------------------
+    lv = lnk["lnk_valid"].reshape(W, NI * 2)
+    sb = startbit(e_dir).astype(jnp.int32)
+    db = destbit(e_dir).astype(jnp.int32)
+    consumed = e_alive & jnp.take_along_axis(
+        lv, jnp.clip(e_src * 2 + sb, 0, NI * 2 - 1), 1)
+    es = jnp.clip(e_src, 0, NI - 1)
+    ed = jnp.clip(e_dst, 0, NI - 1)
+    fsrc = jnp.take_along_axis(flip, es, 1)
+    fdst = jnp.take_along_axis(flip, ed, 1)
+    nsb = sb ^ fsrc.astype(jnp.int32)
+    ndb = db ^ fdst.astype(jnp.int32)
+    nsrc = jnp.take_along_axis(s_item, es, 1)
+    ndst = jnp.take_along_axis(s_item, ed, 1)
+    ne_alive = e_alive & ~consumed
+    loopback = ne_alive & (nsrc == ndst) & (e_src != e_dst)
+    fallback = fallback | loopback.any(axis=1)
+    moved = ne_alive & (nsrc != e_src)
+    side_F = jnp.take_along_axis(pos_u, es, 1) > jnp.take_along_axis(
+        pos_s, es, 1)
+    nokey = jnp.where(moved,
+                      Dcap * jnp.where(side_F, 1, 2) + e_okey, e_okey)
+
+    # ---- item aggregate updates ---------------------------------------
+    lab = jnp.clip(label, 0, NI - 1)
+    n_alive = alive & (s_item == idx)
+
+    def chain_sum(v):
+        acc = jnp.zeros((W, NI), v.dtype).at[
+            _wid(W, NI), jnp.where(alive, lab, NI - 1)].add(
+            jnp.where(alive, v, 0))
+        return jnp.take_along_axis(acc, lab, 1)
+
+    new_merlen = jnp.where(n_alive, chain_sum(merlen), 0)
+    csum = st["csum"]
+    new_csum = jnp.stack(
+        [jnp.where(n_alive, chain_sum(csum[..., i]), 0) for i in range(4)],
+        axis=-1)
+    new_nt = jnp.where(n_alive, chain_sum(st["n_t"]), 0)
+    new_tum = jnp.where(n_alive, chain_sum(
+        st["is_tumor"].astype(jnp.int32)) > 0, False)
+    new_nrm = jnp.where(n_alive, chain_sum(
+        st["is_normal"].astype(jnp.int32)) > 0, False)
+
+    out = dict(st)
+    out.update(
+        alive=n_alive, merlen=new_merlen, csum=new_csum, n_t=new_nt,
+        is_tumor=new_tum, is_normal=new_nrm,
+        e_src=jnp.where(ne_alive, nsrc, 0),
+        e_dst=jnp.where(ne_alive, ndst, 0),
+        e_dir=jnp.where(ne_alive, nsb * 2 + ndb, 0).astype(jnp.int8),
+        e_alive=ne_alive, e_okey=nokey,
+        mer_item=jnp.take_along_axis(s_item, mi, 1),
+        mer_flip=new_flip, mer_pos=new_pos,
+        keep_lo=klo3, keep_hi=khi3)
+    return out, fallback
+
 
 def walk_jump(e_src, e_dst, e_dir, e_alive, alive, special, tandem, NI,
               rounds=17):
