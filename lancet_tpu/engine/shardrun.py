@@ -42,7 +42,19 @@ def _lib():
             lib.lsr_run.argtypes = [
                 ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64, i32p, i32p,
                 i64p, i64p, u8p, i64p, u8p, u8p, ctypes.c_int, i64p, f64p,
-                ctypes.c_char_p, ctypes.c_int, ctypes.c_int64]
+                ctypes.c_char_p, ctypes.c_int, ctypes.c_int64, u8p]
+            lib.lsr_x_info.argtypes = [ctypes.c_void_p, u8p, i64p, i64p]
+            lib.lsr_x_data.restype = u8p
+            lib.lsr_x_data.argtypes = [ctypes.c_void_p, ctypes.c_long]
+            lib.lsx_scan_batch.restype = ctypes.c_void_p
+            lib.lsx_scan_batch.argtypes = [
+                ctypes.c_int64, i64p, u8p, i64p, u8p, i64p, u8p, i64p,
+                i32p, i32p, i64p, u8p, i64p, i32p, i64p]
+            lib.lsx_varbuf_size.restype = ctypes.c_long
+            lib.lsx_varbuf_size.argtypes = [ctypes.c_void_p]
+            lib.lsx_varbuf.restype = u8p
+            lib.lsx_varbuf.argtypes = [ctypes.c_void_p]
+            lib.lsx_free.argtypes = [ctypes.c_void_p]
             lib.lsr_status.restype = ctypes.c_int
             lib.lsr_status.argtypes = [ctypes.c_void_p]
             lib.lsr_n_jobs.restype = ctypes.c_long
@@ -93,6 +105,340 @@ class ShardRunResult:
         self.reads = reads
         self.n_jobs = n_jobs
         self.n_dp = n_dp
+
+
+def device_graph_enabled() -> bool:
+    """Device graph engine switch: on for TPU backends, overridable via
+    LANCET_TPU_DEVGRAPH=0/1 (CPU runs pay XLA compiles on first use)."""
+    v = os.environ.get("LANCET_TPU_DEVGRAPH")
+    if v is not None:
+        return v != "0"
+    try:
+        import jax
+
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def run_shards_device(cfg, windows, tumor, normal,
+                      stats: dict | None = None, mesh=None):
+    """Device-graph-engine run: the native plane does fetch/triage/
+    extract and exports post-trim reads; the TPU pipeline assembles
+    (build -> cleanup -> path cover); the native scan_batch finishes
+    transcripts. Windows the device flags (caps / quirk corners) are
+    replayed by a second, fully-native lsr_run pass. VCF-identical to
+    run_shards by construction; see tests/test_devgraph.py."""
+    import time as _time
+
+    lib = _lib()
+    if not lib:
+        return None
+    from .devicepipe import WindowTask, run_device_graph
+    from .variant import Variant
+
+    n = len(windows)
+    tmap = {nm: i for i, (nm, _) in enumerate(tumor.references)}
+    nmap = {nm: i for i, (nm, _) in enumerate(normal.references)}
+    refid_t = np.array([tmap.get(w.chrom, -1) for w in windows], np.int32)
+    refid_n = np.array([nmap.get(w.chrom, -1) for w in windows], np.int32)
+    starts = np.array([w.refstart for w in windows], np.int64)
+    ends = np.array([w.refend for w in windows], np.int64)
+
+    icfg = np.array([
+        cfg.min_k, cfg.max_k, cfg.min_qual_trim, cfg.min_qual_call,
+        cfg.min_map_qual, cfg.max_avg_cov, cfg.max_delta_as_xs,
+        int(cfg.xa_filter), int(cfg.primary_alignment_only),
+        int(cfg.active_regions), cfg.filters.min_alt_cnt_tumor,
+        cfg.low_cov_threshold, cfg.max_tip_len, cfg.dfs_limit,
+        cfg.max_indel_len, cfg.max_mismatch, cfg.max_unit_len,
+        cfg.min_report_units, cfg.min_report_len, cfg.dist_from_str],
+        np.int64)
+    dcfg = np.array([cfg.min_cov_ratio, float(cfg.cov_threshold)],
+                    np.float64)
+    rgs = b""
+    if getattr(cfg, "rg_file", ""):
+        with open(cfg.rg_file) as f:
+            toks = f.read().split()
+        if toks:
+            rgs = "\n".join(toks).encode()
+
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f64p = ctypes.POINTER(ctypes.c_double)
+
+    def p(a, t):
+        return a.ctypes.data_as(t) if a.size else ctypes.cast(None, t)
+
+    n_threads = max(1, os.cpu_count() or 1)
+    cache_span = int(os.environ.get("LANCET_TPU_CACHE_SPAN", 8 << 20))
+
+    def native_pass(idxs, device: bool):
+        g = np.asarray(idxs, np.int64)
+        sub_raw, sub_off = _blob([windows[i].rawseq.encode("latin-1")
+                                  for i in idxs])
+        rt = np.ascontiguousarray(refid_t[g])
+        rn = np.ascontiguousarray(refid_n[g])
+        st_ = np.ascontiguousarray(starts[g])
+        en = np.ascontiguousarray(ends[g])
+        mask = (np.ones(len(idxs), np.uint8) if device
+                else np.zeros(0, np.uint8))
+        h = lib.lsr_run(
+            cfg.tumor_bam.encode(), cfg.normal_bam.encode(), len(idxs),
+            p(rt, i32p), p(rn, i32p), p(st_, i64p), p(en, i64p),
+            p(sub_raw, u8p), p(sub_off, i64p), ctypes.cast(None, u8p),
+            ctypes.cast(None, u8p), 0, p(icfg, i64p), p(dcfg, f64p), rgs,
+            n_threads, cache_span,
+            p(mask, u8p) if device else ctypes.cast(None, u8p))
+        if lib.lsr_status(h) != STATUS_OK:
+            lib.lsr_free(h)
+            return None
+        return h
+
+    lib.lsr_stage_reset()
+    t_all = _time.perf_counter()
+    all_idx = list(range(n))
+    t0 = _time.perf_counter()
+    h = native_pass(all_idx, device=True)
+    if h is None:
+        return None
+    t_host = _time.perf_counter() - t0
+
+    # collect exports + per-window outputs
+    exported = np.zeros(n, np.uint8)
+    nbytes = np.zeros(n, np.int64)
+    xbp = np.zeros(n, np.int64)
+    lib.lsr_x_info(h, p(exported, u8p), p(nbytes, i64p), p(xbp, i64p))
+    cls = np.zeros((n, 9), np.int64)
+    times = np.zeros(n, np.float64)
+    reads_n = np.zeros(n, np.int64)
+    gflags = np.zeros(n, np.uint8)
+    lib.lsr_win_out(h, p(gflags, u8p), p(reads_n, i64p), p(times, f64p),
+                    p(cls.reshape(-1), i64p))
+
+    t0 = _time.perf_counter()
+    tasks = []
+    for i in range(n):
+        if not exported[i]:
+            continue
+        buf = ctypes.string_at(lib.lsr_x_data(h, i), int(nbytes[i]))
+        reads = []
+        off = 0
+        while off < len(buf):
+            (ln,) = struct.unpack_from("<i", buf, off)
+            label = buf[off + 4]
+            strand = buf[off + 5]
+            mate = buf[off + 6]
+            (frag,) = struct.unpack_from("<i", buf, off + 8)
+            seq = buf[off + 12 : off + 12 + ln]
+            qual = buf[off + 12 + ln : off + 12 + 2 * ln]
+            off += 12 + 2 * ln
+            reads.append((seq, qual, int(label), int(strand), int(frag),
+                          int(mate)))
+        w = windows[i]
+        tasks.append(WindowTask(
+            widx=i, reads=reads, rawseq=w.rawseq, totalreadbp=int(xbp[i]),
+            refchr=w.chrom, refstart=w.refstart))
+    lib.lsr_free(h)
+    t_unpack = _time.perf_counter() - t0
+
+    t0 = _time.perf_counter()
+    run_device_graph(tasks, cfg, stats=stats, mesh=mesh)
+    t_dev = _time.perf_counter() - t0
+
+    # device DP for the jobs that need it
+    t0 = _time.perf_counter()
+    all_jobs = [(t, j) for t in tasks if not t.fallback for j in t.jobs]
+    dp_jobs = [(t, j) for t, j in all_jobs if j.needs_dp]
+    aligned = {}
+    if dp_jobs:
+        if mesh is not None:
+            from ..parallel.mesh import mesh_batch_align_async
+
+            state = mesh_batch_align_async(
+                [(j.refseq, j.pathseq) for _, j in dp_jobs], mesh)
+        else:
+            from ..tpu.align_batch import batch_align_async
+
+            state = batch_align_async(
+                [(j.refseq, j.pathseq) for _, j in dp_jobs])
+        from ..tpu.align_batch import batch_align_wait
+
+        out = batch_align_wait(state)
+        aligned = {id(j): r for (_, j), r in zip(dp_jobs, out)}
+    t_dp = _time.perf_counter() - t0
+
+    # native batch transcript finish
+    t0 = _time.perf_counter()
+    variants_by_window: dict[int, list] = {}
+    if all_jobs:
+        metas = np.zeros((len(all_jobs), 8), np.int64)
+        paths, ras, pas, spans = [], [], [], []
+        covT_parts, covN_parts = [], []
+        cov_off = np.zeros(len(all_jobs) + 1, np.int64)
+        rc_blobs = []
+        rc_off_of_task: dict[int, int] = {}
+        rc_total = 0
+        for k_, (t, j) in enumerate(all_jobs):
+            if id(t) not in rc_off_of_task:
+                rc_off_of_task[id(t)] = rc_total
+                rc4 = np.concatenate([
+                    j.ref_cov_tmr[:, 0], j.ref_cov_tmr[:, 1],
+                    j.ref_cov_nml[:, 0], j.ref_cov_nml[:, 1]]).astype(
+                        np.int32)
+                rc_blobs.append(rc4)
+                rc_total += rc4.size
+            ra, pa = (aligned[id(j)] if j.needs_dp
+                      else (j.refseq, j.pathseq))
+            metas[k_] = (j.K, j.trim5, t.refstart, 0, 0,
+                         len(t.rawseq), t.widx, rc_off_of_task[id(t)])
+            paths.append(j.pathseq.encode("latin-1"))
+            ras.append(ra.encode("latin-1"))
+            pas.append(pa.encode("latin-1"))
+            spans.append(np.ascontiguousarray(
+                j.tumor_span.astype(np.uint8)))
+            covT_parts.append(np.ascontiguousarray(
+                j.covT[:, :4].astype(np.int32)).reshape(-1))
+            covN_parts.append(np.ascontiguousarray(
+                j.covN[:, :4].astype(np.int32)).reshape(-1))
+            cov_off[k_ + 1] = cov_off[k_] + covT_parts[-1].size
+        path_blob, path_off = _blob(paths)
+        ra_blob, ra_off = _blob(ras)
+        pa_blob, pa_off = _blob(pas)
+        span_blob, span_off = _blob([s.tobytes() for s in spans])
+        covT_blob = (np.concatenate(covT_parts) if covT_parts
+                     else np.zeros(0, np.int32))
+        covN_blob = (np.concatenate(covN_parts) if covN_parts
+                     else np.zeros(0, np.int32))
+        rc_blob = (np.concatenate(rc_blobs) if rc_blobs
+                   else np.zeros(0, np.int32))
+        icfg4 = np.array([cfg.max_unit_len, cfg.min_report_units,
+                          cfg.min_report_len, cfg.dist_from_str], np.int64)
+        hx = lib.lsx_scan_batch(
+            len(all_jobs), p(metas.reshape(-1), i64p),
+            p(path_blob, u8p), p(path_off, i64p),
+            p(ra_blob, u8p), p(ra_off, i64p),
+            p(pa_blob, u8p), p(pa_off, i64p),
+            p(covT_blob, i32p), p(covN_blob, i32p), p(cov_off, i64p),
+            p(span_blob, u8p), p(span_off, i64p),
+            p(rc_blob, i32p), p(icfg4, i64p))
+        nv = lib.lsx_varbuf_size(hx)
+        buf = ctypes.string_at(lib.lsx_varbuf(hx), nv) if nv else b""
+        lib.lsx_free(hx)
+        _parse_varbuf(buf, windows, lambda wi: wi, variants_by_window)
+    t_fin = _time.perf_counter() - t0
+
+    # second pass: fully-native replay of device-fallback windows
+    fb_idx = sorted([t.widx for t in tasks if t.fallback]
+                    + [i for i in range(n) if gflags[i]])
+    fallback: set[int] = set()
+    tot_jobs, tot_dp = len(all_jobs), len(dp_jobs)
+    if fb_idx:
+        h2 = native_pass(fb_idx, device=False)
+        if h2 is None:
+            return None
+        n_jobs2 = lib.lsr_n_jobs(h2)
+        meta2 = np.zeros((n_jobs2, 6), np.int64)
+        if n_jobs2:
+            lib.lsr_job_meta(h2, p(meta2.reshape(-1), i64p))
+        dp_idx = np.nonzero(meta2[:, 4])[0] if n_jobs2 else np.zeros(0, int)
+        pairs = []
+        for i in dp_idx:
+            w = windows[fb_idx[int(meta2[i, 0])]]
+            src, dist = int(meta2[i, 1]), int(meta2[i, 2])
+            pathseq = ctypes.string_at(
+                lib.lsr_job_path(h2, int(i)), int(meta2[i, 3])).decode(
+                "latin-1")
+            pairs.append((w.rawseq[src : src + dist], pathseq))
+        al2 = []
+        if pairs:
+            from ..tpu.align_batch import batch_align
+
+            al2 = batch_align(pairs)
+        ra_blob, ra_off = _blob([a.encode("latin-1") for a, _ in al2])
+        pa_blob, pa_off = _blob([b2.encode("latin-1") for _, b2 in al2])
+        lib.lsr_finish(h2, p(ra_blob, u8p), p(ra_off, i64p),
+                       p(pa_blob, u8p), p(pa_off, i64p))
+        nv = lib.lsr_varbuf_size(h2)
+        buf = ctypes.string_at(lib.lsr_varbuf(h2), nv) if nv else b""
+        _parse_varbuf(buf, windows, lambda wi: fb_idx[wi],
+                      variants_by_window)
+        m = len(fb_idx)
+        g2 = np.zeros(m, np.uint8)
+        r2 = np.zeros(m, np.int64)
+        t2 = np.zeros(m, np.float64)
+        c2 = np.zeros((m, 9), np.int64)
+        lib.lsr_win_out(h2, p(g2, u8p), p(r2, i64p), p(t2, f64p),
+                        p(c2.reshape(-1), i64p))
+        ga = np.asarray(fb_idx, np.int64)
+        cls[ga] = c2
+        times[ga] += t2
+        reads_n[ga] = r2
+        for li in np.nonzero(g2)[0]:
+            fallback.add(int(fb_idx[int(li)]))
+        tot_jobs += int(n_jobs2)
+        tot_dp += len(pairs)
+        lib.lsr_free(h2)
+
+    if stats is not None:
+        stats["t_host"] = t_host
+        stats["t_pipeline"] = _time.perf_counter() - t_all
+        stats["t_unpack"] = t_unpack
+        stats["t_devgraph"] = t_dev
+        stats["t_dp"] = t_dp
+        stats["t_finish"] = t_fin
+        stats["n_jobs"] = tot_jobs
+        stats["n_dp"] = tot_dp
+        stats["n_dev_windows"] = len(tasks)
+        stats["n_dev_fallback"] = len(fb_idx)
+        # per-k success histogram (VERDICT r2 item 4)
+        hist: dict[int, int] = {}
+        for t in tasks:
+            if t.done:
+                hist[t.k_done] = hist.get(t.k_done, 0) + 1
+        stats["k_histogram"] = dict(sorted(hist.items()))
+        ns = np.zeros(16, np.int64)
+        lib.lsr_stage_ns(p(ns, i64p))
+        for k_, v in zip(("t_c_fetch", "t_c_triage", "t_c_extract",
+                          "t_c_kloop", "t_c_scan", "t_c_build",
+                          "t_c_refcov", "t_c_mat", "t_c_stages",
+                          "t_c_eka", "t_c_comps", "t_c_refends",
+                          "t_c_cyc", "t_c_compress", "t_c_cleanup",
+                          "t_c_findrep"), ns):
+            stats[k_] = float(v) / 1e9
+    return ShardRunResult(variants_by_window, fallback, cls, times,
+                          reads_n, tot_jobs, tot_dp)
+
+
+def _parse_varbuf(buf: bytes, windows, map_win, variants_by_window) -> None:
+    """Unpack the packed Var wire format into Variant objects."""
+    from .variant import Variant
+
+    zero3 = (0, 0, 0)
+    off = 0
+    nv = len(buf)
+    while off < nv:
+        (win, pos, code, prev_ref, prev_alt, _pad, kmer, l_ref, l_alt,
+         l_str) = struct.unpack_from("<iqBBBBiiii", buf, off)
+        cov = struct.unpack_from("<8i", buf, off + 32)
+        off += 64
+        ref = buf[off : off + l_ref].decode("latin-1")
+        off += l_ref
+        alt = buf[off : off + l_alt].decode("latin-1")
+        off += l_alt
+        str_tag = buf[off : off + l_str].decode("latin-1")
+        off += l_str
+        gwin = map_win(win)
+        v = Variant(
+            lr_mode=False, chrom=windows[gwin].chrom, pos=pos,
+            ref_str=ref, alt_str=alt,
+            rcn=(cov[0], cov[1]), rct=(cov[2], cov[3]),
+            acn=(cov[4], cov[5]), act=(cov[6], cov[7]),
+            hprn=zero3, hprt=zero3, hpan=zero3, hpat=zero3,
+            prev_bp_ref=chr(prev_ref), prev_bp_alt=chr(prev_alt),
+            kmer=kmer, str_tag=str_tag, code=chr(code))
+        variants_by_window.setdefault(gwin, []).append(v)
 
 
 def run_shards(cfg, windows, tumor, normal, stats: dict | None = None,
@@ -226,7 +572,8 @@ def run_shards(cfg, windows, tumor, normal, stats: dict | None = None,
             p(sub_raw, u8p), p(sub_off, i64p),
             p(sub_gates, u8p) if n_k else ctypes.cast(None, u8p),
             p(sub_exact, u8p) if n_k else ctypes.cast(None, u8p), n_k,
-            p(icfg, i64p), p(dcfg, f64p), rgs, n_threads, cache_span)
+            p(icfg, i64p), p(dcfg, f64p), rgs, n_threads, cache_span,
+            ctypes.cast(None, u8p))
         return h
 
     from .variant import Variant

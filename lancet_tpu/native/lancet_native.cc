@@ -2635,10 +2635,13 @@ struct WinOut {
   uint8_t fallback = 0;       // python must replay this window
   uint8_t windows_done = 0;
   uint8_t num_skip = 0;
+  uint8_t exported = 0;       // device mode: reads exported, k-loop skipped
   uint8_t cls[7] = {0};       // tumor region-class counter deltas
   int64_t reads = 0;          // total_reads delta
+  int64_t xbp = 0;            // exported-mode totalreadbp (post-trim)
   double ms = 0;
   std::vector<SJob> jobs;
+  std::vector<uint8_t> xbuf;  // packed post-trim reads (device mode)
 };
 
 struct Var {
@@ -2966,12 +2969,53 @@ bool process_graph(const WinInfo& w, const Cfg& cfg,
   return true;
 }
 
+// --- device-mode read export -----------------------------------------------
+// Packs the post-trim non-junk reads for the TPU graph engine: per read
+// int32 len; int8 label, strand, mate, pad; int32 frag (-1 unpaired);
+// seq bytes; qual bytes. Junk reads still count toward totalreadbp
+// (fastbuild._gather semantics).
+void export_reads(const std::vector<XRead>& reads, WinOut& out) {
+  std::unordered_map<std::string, int32_t> frags;
+  out.xbp = 0;
+  int64_t n = 0;
+  for (const auto& r : reads) {
+    if (r.junk) continue;
+    const int64_t tl = (int64_t)r.rec->seq.size() - r.trm5 - r.trm3;
+    out.xbp += tl;
+    ++n;
+  }
+  out.xbuf.reserve((size_t)(n * 12 + out.xbp * 2 + 16));
+  for (const auto& r : reads) {
+    if (r.junk) continue;
+    const std::string& s = r.rec->seq;
+    const std::string& q = r.rec->qual;
+    const int32_t tl = (int32_t)s.size() - r.trm5 - r.trm3;
+    int32_t frag = -1;
+    if (r.mate > 0) {
+      auto it = frags.emplace(r.rec->name, (int32_t)frags.size());
+      frag = it.first->second;
+    }
+    const size_t base = out.xbuf.size();
+    out.xbuf.resize(base + 12 + 2 * (size_t)tl);
+    uint8_t* p = out.xbuf.data() + base;
+    std::memcpy(p, &tl, 4);
+    p[4] = (uint8_t)r.label;
+    p[5] = (uint8_t)r.strand;
+    p[6] = (uint8_t)r.mate;
+    p[7] = 0;
+    std::memcpy(p + 8, &frag, 4);
+    std::memcpy(p + 12, s.data() + r.trm5, (size_t)tl);
+    std::memcpy(p + 12 + tl, q.data() + r.trm5, (size_t)tl);
+  }
+  out.exported = 1;
+}
+
 // --- one window end-to-end (micro.process_window) ---------------------------
 void process_window(const WinInfo& w, const Cfg& cfg,
                     const std::vector<const Rec*>& tumor_alns,
                     const std::vector<const Rec*>& normal_alns,
                     const uint8_t* gate_row, uint8_t exact_maxk, int n_k,
-                    int win_idx, WinOut& out) {
+                    int win_idx, WinOut& out, bool device_mode = false) {
   // is_n_seq is always false (reference isNseq `||` bug, util.cc:259-273)
   if (n_k > 0) {
     if (exact_maxk) return;  // maxk exact-repeat gate: silent skip
@@ -2994,11 +3038,16 @@ void process_window(const WinInfo& w, const Cfg& cfg,
       skip_n = extract_reads(normal_alns, w, false, cfg, reads, out);
     }
     if (!skip_t && !skip_n) {
-      StageTimer st(stage_ns().kloop);
-      if (!process_graph(w, cfg, reads, gate_row, n_k, win_idx, out)) {
-        out.fallback = 1;
-        out.jobs.clear();
-        return;
+      if (device_mode) {
+        StageTimer st(stage_ns().extract);
+        export_reads(reads, out);
+      } else {
+        StageTimer st(stage_ns().kloop);
+        if (!process_graph(w, cfg, reads, gate_row, n_k, win_idx, out)) {
+          out.fallback = 1;
+          out.jobs.clear();
+          return;
+        }
       }
     } else {
       out.num_skip = 1;
@@ -3007,6 +3056,35 @@ void process_window(const WinInfo& w, const Cfg& cfg,
     out.num_skip = 1;
   }
   out.windows_done = 1;
+}
+
+// pack: int32 win; int64 pos; u8 code,prev_ref,prev_alt,pad; int32 kmer;
+//       int32 l_ref,l_alt,l_str; int32 cov[8]; bytes ref,alt,str
+void pack_vars(const std::vector<Var>& vars, std::vector<uint8_t>& buf) {
+  buf.clear();
+  for (const auto& v : vars) {
+    const size_t base = buf.size();
+    buf.resize(base + 64 + v.ref.size() + v.alt.size() +
+               v.str_tag.size());
+    uint8_t* w = buf.data() + base;
+    std::memcpy(w, &v.win, 4);
+    std::memcpy(w + 4, &v.pos, 8);
+    w[12] = (uint8_t)v.code;
+    w[13] = (uint8_t)v.prev_ref;
+    w[14] = (uint8_t)v.prev_alt;
+    w[15] = 0;
+    std::memcpy(w + 16, &v.kmer, 4);
+    const int32_t lr = (int32_t)v.ref.size(), la = (int32_t)v.alt.size(),
+                  ls = (int32_t)v.str_tag.size();
+    std::memcpy(w + 20, &lr, 4);
+    std::memcpy(w + 24, &la, 4);
+    std::memcpy(w + 28, &ls, 4);
+    std::memcpy(w + 32, v.cov, 32);
+    std::memcpy(w + 64, v.ref.data(), v.ref.size());
+    std::memcpy(w + 64 + v.ref.size(), v.alt.data(), v.alt.size());
+    std::memcpy(w + 64 + v.ref.size() + v.alt.size(), v.str_tag.data(),
+                v.str_tag.size());
+  }
 }
 
 }  // namespace lsr
@@ -3363,7 +3441,7 @@ void* lsr_run(const char* tumor_path, const char* normal_path,
               const int64_t* raw_off, const uint8_t* gates,
               const uint8_t* exact_maxk, int n_k, const int64_t* icfg,
               const double* dcfg, const char* readgroups, int n_threads,
-              int64_t cache_span) {
+              int64_t cache_span, const uint8_t* device_mask) {
   auto* out = new lsr::Out();
   lsr::Cfg cfg;
   cfg.min_k = (int)icfg[0];
@@ -3478,7 +3556,8 @@ void* lsr_run(const char* tumor_path, const char* normal_path,
         nc.view(w.start, w.end, nv);
         lsr::process_window(
             w, cfg, tv, nv, gates ? gates + wi * n_k : nullptr,
-            exact_maxk ? exact_maxk[wi] : 0, n_k, (int)wi, out->res[wi]);
+            exact_maxk ? exact_maxk[wi] : 0, n_k, (int)wi, out->res[wi],
+            device_mask && device_mask[wi]);
         out->res[wi].ms =
             std::chrono::duration<double, std::milli>(
                 std::chrono::steady_clock::now() - t0)
@@ -3566,37 +3645,26 @@ void lsr_finish(void* h, const uint8_t* ra_blob, const int64_t* ra_off,
       lsr::scan_job(*j, o->wins[j->win], ra, pa, o->cfg, o->vars);
     }
   }
-  // pack: int32 win; int64 pos; u8 code,prev_ref,prev_alt,pad; int32 kmer;
-  //       int32 l_ref,l_alt,l_str; int32 cov[8]; bytes ref,alt,str
-  o->varbuf.clear();
-  for (const auto& v : o->vars) {
-    const size_t base = o->varbuf.size();
-    o->varbuf.resize(base + 64 + v.ref.size() + v.alt.size() +
-                     v.str_tag.size());
-    uint8_t* w = o->varbuf.data() + base;
-    std::memcpy(w, &v.win, 4);
-    std::memcpy(w + 4, &v.pos, 8);
-    w[12] = (uint8_t)v.code;
-    w[13] = (uint8_t)v.prev_ref;
-    w[14] = (uint8_t)v.prev_alt;
-    w[15] = 0;
-    std::memcpy(w + 16, &v.kmer, 4);
-    const int32_t lr = (int32_t)v.ref.size(), la = (int32_t)v.alt.size(),
-                  ls = (int32_t)v.str_tag.size();
-    std::memcpy(w + 20, &lr, 4);
-    std::memcpy(w + 24, &la, 4);
-    std::memcpy(w + 28, &ls, 4);
-    std::memcpy(w + 32, v.cov, 32);
-    std::memcpy(w + 64, v.ref.data(), v.ref.size());
-    std::memcpy(w + 64 + v.ref.size(), v.alt.data(), v.alt.size());
-    std::memcpy(w + 64 + v.ref.size() + v.alt.size(), v.str_tag.data(),
-                v.str_tag.size());
-  }
+  lsr::pack_vars(o->vars, o->varbuf);
 }
 
 long lsr_n_vars(void* h) { return (long)((lsr::Out*)h)->vars.size(); }
 long lsr_varbuf_size(void* h) { return (long)((lsr::Out*)h)->varbuf.size(); }
 const uint8_t* lsr_varbuf(void* h) { return ((lsr::Out*)h)->varbuf.data(); }
+
+// device-mode export accessors: per-window (exported, n_bytes, totalreadbp)
+void lsr_x_info(void* h, uint8_t* exported, int64_t* nbytes, int64_t* bp) {
+  auto* o = (lsr::Out*)h;
+  for (size_t i = 0; i < o->res.size(); ++i) {
+    exported[i] = o->res[i].exported;
+    nbytes[i] = (int64_t)o->res[i].xbuf.size();
+    bp[i] = o->res[i].xbp;
+  }
+}
+
+const uint8_t* lsr_x_data(void* h, long i) {
+  return ((lsr::Out*)h)->res[i].xbuf.data();
+}
 
 // coarse stage nanoseconds: fetch, triage, extract, kloop, scan (summed
 // across worker threads — see StageNs)
@@ -3623,5 +3691,73 @@ void lsr_stage_ns(int64_t* out16) {
 }
 
 void lsr_free(void* h) { delete (lsr::Out*)h; }
+
+// ---------------------------------------------------------------------------
+// Standalone batch transcript finisher for device-engine jobs: replays
+// scan_job over (pathseq, aligned strings, coverage rows, span) coming
+// from the TPU pipeline (devicepipe), producing the same packed varbuf
+// as lsr_finish. meta stride 8 per job:
+// [K, trim5, refstart, src_off(unused), ref_dist(unused), rawlen,
+//  win_id, refcov_off(elements)].
+// ---------------------------------------------------------------------------
+
+struct LsxOut {
+  std::vector<lsr::Var> vars;
+  std::vector<uint8_t> varbuf;
+};
+
+void* lsx_scan_batch(
+    int64_t n_jobs, const int64_t* meta,
+    const uint8_t* path_blob, const int64_t* path_off,
+    const uint8_t* ra_blob, const int64_t* ra_off,
+    const uint8_t* pa_blob, const int64_t* pa_off,
+    const int32_t* covT_blob, const int32_t* covN_blob,
+    const int64_t* cov_off,  // element offsets (4 per base)
+    const uint8_t* span_blob, const int64_t* span_off,
+    const int32_t* refcov_blob, const int64_t* icfg4) {
+  auto* o = new LsxOut();
+  lsr::Cfg cfg{};
+  cfg.max_unit_len = (int)icfg4[0];
+  cfg.min_report_units = (int)icfg4[1];
+  cfg.min_report_len = (int)icfg4[2];
+  cfg.dist_from_str = (int)icfg4[3];
+  std::unordered_map<int64_t, std::shared_ptr<std::vector<int32_t>>> rcs;
+  for (int64_t i = 0; i < n_jobs; ++i) {
+    const int64_t* m = meta + i * 8;
+    lsr::SJob j;
+    j.win = (int32_t)m[6];
+    j.K = (int32_t)m[0];
+    j.trim5 = (int32_t)m[1];
+    j.pathseq.assign((const char*)path_blob + path_off[i],
+                     (size_t)(path_off[i + 1] - path_off[i]));
+    const int64_t ce = cov_off[i + 1] - cov_off[i];
+    j.covT.assign(covT_blob + cov_off[i], covT_blob + cov_off[i] + ce);
+    j.covN.assign(covN_blob + cov_off[i], covN_blob + cov_off[i] + ce);
+    j.span.assign(span_blob + span_off[i], span_blob + span_off[i + 1]);
+    const int64_t rawlen = m[5];
+    const int64_t rco = m[7];
+    auto it = rcs.find(rco);
+    if (it == rcs.end()) {
+      it = rcs.emplace(rco, std::make_shared<std::vector<int32_t>>(
+                                refcov_blob + rco,
+                                refcov_blob + rco + 4 * rawlen)).first;
+    }
+    j.refcov = it->second;
+    lsr::WinInfo w;
+    w.start = m[2];
+    w.rawlen = rawlen;
+    std::string ra((const char*)ra_blob + ra_off[i],
+                   (size_t)(ra_off[i + 1] - ra_off[i]));
+    std::string pa((const char*)pa_blob + pa_off[i],
+                   (size_t)(pa_off[i + 1] - pa_off[i]));
+    lsr::scan_job(j, w, ra, pa, cfg, o->vars);
+  }
+  lsr::pack_vars(o->vars, o->varbuf);
+  return o;
+}
+
+long lsx_varbuf_size(void* h) { return (long)((LsxOut*)h)->varbuf.size(); }
+const uint8_t* lsx_varbuf(void* h) { return ((LsxOut*)h)->varbuf.data(); }
+void lsx_free(void* h) { delete (LsxOut*)h; }
 
 }  // extern "C"

@@ -179,7 +179,8 @@ def run(cfg: Config, command_line: str = "lancet-tpu", date: str | None = None,
                   and not cfg.print_graph and not cfg.resume_dir
                   and not os.environ.get("LANCET_TPU_NO_SHARDRUN"))
     if use_native:
-        from .engine.shardrun import run_shards
+        from .engine.shardrun import (device_graph_enabled, run_shards,
+                                      run_shards_device)
 
         ordered = []
         shard_of = []
@@ -187,8 +188,12 @@ def run(cfg: Config, command_line: str = "lancet-tpu", date: str | None = None,
             sw = sorted(shard, key=lambda w: w.name)
             ordered.extend(sw)
             shard_of.extend([si] * len(sw))
-        res = run_shards(cfg_eff, ordered, tumor, normal, stats=stats,
-                         mesh=mesh)
+        if device_graph_enabled():
+            res = run_shards_device(cfg_eff, ordered, tumor, normal,
+                                    stats=stats, mesh=mesh)
+        else:
+            res = run_shards(cfg_eff, ordered, tumor, normal, stats=stats,
+                             mesh=mesh)
         if res is not None:
             from .engine.micro import ShardCounters
 

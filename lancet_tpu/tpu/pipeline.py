@@ -96,14 +96,6 @@ def _extend_edges(st, b, W, E, N, Cmax, K):
     return st, EE
 
 
-def _tandem_flags(st, NI):
-    e_src, e_dst, e_alive = st["e_src"], st["e_dst"], st["e_alive"]
-    W, EE = e_src.shape
-    sl = e_alive & (e_src == e_dst)
-    return jnp.zeros((W, NI), bool).at[
-        _wid(W, EE), jnp.where(sl, e_src, NI - 1)].max(sl)
-
-
 def cleanup(st, K, N, NI, cfg_s, avgcov, U=256, D2=24, TIP_ROUNDS=6):
     """lowcov(true) -> compress -> tips fixpoint -> short links ->
     compress (ref: Microassembler.cc:184-198). Returns (st, fallback)."""
@@ -199,24 +191,422 @@ def run_attempt(b, ranks, K, N, E, Cmax, cfg_s, PC=192):
     same_anchor = (ends["anchored"]
                    & (ends["src_nid"] == ends["snk_nid"])).any(axis=1)
 
-    tandem = _tandem_flags(st, NI)
-    cyc1, over_p1 = stages.has_cycle(
-        st["e_src"], st["e_dst"], st["e_dir"], st["e_alive"], st["alive"],
-        st["special"], tandem, N, Cmax, PC)
+    cyc1, over_p1 = stages.has_cycle_seq(
+        st["e_src"], st["e_dst"], st["e_dir"], st["e_alive"],
+        st["e_okey"], st["alive"], st["special"], N, NI, Cmax)
 
     avgcov = b["avgcov"]
     st, fb_clean = cleanup(st, K, N, NI, cfg_s, avgcov)
 
-    tandem2 = _tandem_flags(st, NI)
-    cyc2, over_p2 = stages.has_cycle(
-        st["e_src"], st["e_dst"], st["e_dir"], st["e_alive"], st["alive"],
-        st["special"], tandem2, N, Cmax, PC)
+    cyc2, over_p2 = stages.has_cycle_seq(
+        st["e_src"], st["e_dst"], st["e_dir"], st["e_alive"],
+        st["e_okey"], st["alive"], st["special"], N, NI, Cmax, D2=24)
 
     fallback = (b["fallback"] | over_c | over_p1 | over_p2 | fb_clean
                 | same_anchor)
     res = dict(cyc1=cyc1, cyc2=cyc2, ends=ends, numcomp=numcomp,
                fallback=fallback)
     return st, res
+
+
+def path_cover(st, res, K, N, NI, Cmax, reflens, dfs_limit, max_indel,
+               Q=512, POPMAX=1024, JMAX=12, PN=48, D2=24):
+    """Best-new-edge path cover (ref: Graph.cc:1299-1501 bfs/eka) as a
+    lockstep frontier loop. Per window, components are walked in order;
+    each eka round re-runs the BFS with the live covered-edge set (later
+    rounds can pass through the sink exactly like the reference), keeps
+    the first-found best-scoring complete path, and marks its edges.
+
+    Returns dict: sel_edges [W, JMAX, PN] (edge ids, source-first),
+    sel_hops, sel_comp [W, JMAX], n_sel [W], fallback [W]."""
+    W = st["alive"].shape[0]
+    EE = st["e_src"].shape[1]
+    e_src, e_dst, e_dir, e_alive = (st["e_src"], st["e_dst"], st["e_dir"],
+                                    st["e_alive"])
+    merlen, special = st["merlen"], st["special"]
+    ends = res["ends"]
+    runnable = (ends["anchored"] & ~res["cyc1"] & ~res["cyc2"])  # [W,Cmax]
+
+    # adjacency in okey order
+    okey = stages.edge_renorm(e_src, st["e_okey"], e_alive, NI)
+    key1 = jnp.where(e_alive, e_src, BIG)
+    eidx = jnp.broadcast_to(jnp.arange(EE, dtype=jnp.int32)[None], (W, EE))
+    k1, _, perm = jax.lax.sort((key1, okey, eidx), num_keys=2,
+                               dimension=1, is_stable=True)
+    newrun = jnp.ones((W, EE), bool)
+    newrun = newrun.at[:, 1:].set(k1[:, 1:] != k1[:, :-1])
+    run_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(newrun, eidx, 0), axis=1)
+    slot = eidx - run_start
+    ea_s = jnp.take_along_axis(e_alive, perm, 1)
+    over_d = jnp.max(jnp.where(ea_s, slot + 1, 0), axis=1) > D2
+    adj = jnp.full((W, NI, D2), -1, jnp.int32)
+    adj = adj.at[_wid(W, EE), jnp.where(ea_s & (slot < D2), k1, NI),
+                 jnp.minimum(slot, D2 - 1)].set(perm, mode="drop")
+
+    wrow = jnp.arange(W, dtype=jnp.int32)
+    sb_all = startbit(e_dir).astype(jnp.int32)
+
+    def bfs(carry):
+        """One eka round of BFS for all active lanes."""
+        (c_w, covered, lane_on, *_rest) = carry
+        src_item = N + 2 * (c_w - 1)
+        sink_item = src_item + 1
+        reflen = jnp.take_along_axis(
+            reflens, jnp.clip(c_w - 1, 0, Cmax - 1)[:, None], 1)[:, 0]
+
+        q_item = jnp.zeros((W, Q), jnp.int32).at[:, 0].set(src_item)
+        q_dir = jnp.zeros((W, Q), jnp.int32)
+        q_parent = jnp.full((W, Q), -1, jnp.int32)
+        q_edge = jnp.full((W, Q), -1, jnp.int32)
+        q_len = jnp.zeros((W, Q), jnp.int32).at[:, 0].set(K)
+        q_flag = jnp.zeros((W, Q), bool).at[:, 0].set(True)
+        q_score = jnp.zeros((W, Q), jnp.int32)
+        head = jnp.zeros((W,), jnp.int32)
+        tail = jnp.ones((W,), jnp.int32)
+        visits = jnp.zeros((W,), jnp.int32)
+        best_idx = jnp.full((W,), -1, jnp.int32)
+        best_score = jnp.zeros((W,), jnp.int32)
+        over_q = jnp.zeros((W,), bool)
+        bfs_on = lane_on
+
+        def cond(s):
+            (qi, qd, qp, qe, ql, qf, qs, head, tail, visits, bi, bs,
+             over_q, on, pops) = s
+            return jnp.any(on & (head < tail)) & (pops < POPMAX)
+
+        def body(s):
+            (qi, qd, qp, qe, ql, qf, qs, head, tail, visits, bi, bs,
+             over_q, on, pops) = s
+            act = on & (head < tail)
+            visits = visits + act
+            lim = act & (visits > dfs_limit)
+            on = on & ~lim
+            act = act & ~lim
+            hs = jnp.clip(head, 0, Q - 1)
+            it = qi[wrow, hs]
+            dr = qd[wrow, hs]
+            ln = ql[wrow, hs]
+            fl = qf[wrow, hs]
+            sc = qs[wrow, hs]
+            at_sink = act & (it == sink_item) & ~fl
+            better = at_sink & ((bi < 0) | (sc > bs))
+            bi = jnp.where(better, head, bi)
+            bs = jnp.where(better, sc, bs)
+            expand = act & ~at_sink & ~(ln > reflen + max_indel)
+            its = jnp.clip(it, 0, NI - 1)
+            for s2 in range(D2):
+                e = adj[wrow, its, s2]
+                es = jnp.clip(e, 0, EE - 1)
+                okc = (expand & (e >= 0)
+                       & (sb_all[wrow, es] == dr))
+                dst = e_dst[wrow, es]
+                dsts = jnp.clip(dst, 0, NI - 1)
+                spec = special[wrow, dsts]
+                nlen = ln + jnp.where(spec, 1 - K, merlen[wrow, dsts])
+                cov_e = covered[wrow, es]
+                ts = jnp.clip(tail, 0, Q - 1)
+                wr = okc & (tail < Q)
+                over_q = over_q | (okc & (tail >= Q))
+                tgt = jnp.where(wr, ts, Q - 1)
+                qi = qi.at[wrow, tgt].set(
+                    jnp.where(wr, dst, qi[wrow, tgt]))
+                qd = qd.at[wrow, tgt].set(
+                    jnp.where(wr, destbit(e_dir[wrow, es]).astype(
+                        jnp.int32), qd[wrow, tgt]))
+                qp = qp.at[wrow, tgt].set(
+                    jnp.where(wr, head, qp[wrow, tgt]))
+                qe = qe.at[wrow, tgt].set(jnp.where(wr, e, qe[wrow, tgt]))
+                ql = ql.at[wrow, tgt].set(
+                    jnp.where(wr, nlen, ql[wrow, tgt]))
+                qf = qf.at[wrow, tgt].set(
+                    jnp.where(wr, fl & cov_e, qf[wrow, tgt]))
+                qs = qs.at[wrow, tgt].set(
+                    jnp.where(wr, sc + (~cov_e).astype(jnp.int32),
+                              qs[wrow, tgt]))
+                tail = tail + wr
+            head = head + act
+            return (qi, qd, qp, qe, ql, qf, qs, head, tail, visits, bi,
+                    bs, over_q, on, pops + 1)
+
+        s0 = (q_item, q_dir, q_parent, q_edge, q_len, q_flag, q_score,
+              head, tail, visits, best_idx, best_score, over_q, bfs_on,
+              jnp.int32(0))
+        (qi, qd, qp, qe, ql, qf, qs, head, tail, visits, bi, bs, over_q,
+         on, pops) = jax.lax.while_loop(cond, body, s0)
+        # POPMAX hit with work left = unfaithful enumeration -> fallback
+        over_q = over_q | (on & (head < tail))
+        return qi, qp, qe, bi, over_q
+
+    # outer loop over (comp advance | eka round)
+    sel_edges = jnp.full((W, JMAX, PN), -1, jnp.int32)
+    sel_hops = jnp.zeros((W, JMAX), jnp.int32)
+    sel_comp = jnp.zeros((W, JMAX), jnp.int32)
+    n_sel = jnp.zeros((W,), jnp.int32)
+    covered = jnp.zeros((W, EE), bool)
+    fallback = over_d
+    c_w = jnp.ones((W,), jnp.int32)
+    OUTER = Cmax + JMAX + 2
+
+    def outer_body(o, carry):
+        (c_w, covered, sel_edges, sel_hops, sel_comp, n_sel,
+         fallback) = carry
+        in_range = c_w <= res["numcomp"]
+        can = jnp.take_along_axis(
+            runnable, jnp.clip(c_w - 1, 0, Cmax - 1)[:, None], 1)[:, 0]
+        lane_on = in_range & can
+        qi, qp, qe, bi, over_q = bfs(
+            (c_w, covered, lane_on))
+        fallback = fallback | over_q
+        has = lane_on & (bi >= 0) & ~over_q
+        # walk parents of the best entry, marking covered and recording
+        cur = jnp.where(has, bi, -1)
+        hopbuf = jnp.full((W, PN), -1, jnp.int32)
+        nh = jnp.zeros((W,), jnp.int32)
+
+        def walk(p, wc):
+            cur, covered, hopbuf, nh = wc
+            okw = cur >= 0
+            cs = jnp.clip(cur, 0, Q - 1)
+            e = qe[wrow, cs]
+            oke = okw & (e >= 0)
+            covered = covered.at[
+                wrow, jnp.clip(e, 0, EE - 1)].set(
+                jnp.where(oke, True,
+                          covered[wrow, jnp.clip(e, 0, EE - 1)]))
+            hopbuf = hopbuf.at[wrow, jnp.minimum(p, PN - 1)].set(
+                jnp.where(oke, e, -1))
+            nh = nh + oke
+            cur = jnp.where(oke, qp[wrow, cs], -1)
+            return cur, covered, hopbuf, nh
+
+        cur, covered, hopbuf, nh = jax.lax.fori_loop(
+            0, PN, walk, (cur, covered, hopbuf, nh))
+        fallback = fallback | (cur >= 0)  # path longer than PN
+        over_j = has & (n_sel >= JMAX)
+        fallback = fallback | over_j
+        slot = jnp.clip(n_sel, 0, JMAX - 1)
+        put = has & ~over_j
+        # reverse hop order (walk collected sink-first)
+        rev = jnp.arange(PN, dtype=jnp.int32)[None, :]
+        src_pos = nh[:, None] - 1 - rev
+        rbuf = jnp.where(
+            (src_pos >= 0),
+            jnp.take_along_axis(hopbuf, jnp.clip(src_pos, 0, PN - 1), 1),
+            -1)
+        sel_edges = sel_edges.at[wrow, slot].set(
+            jnp.where(put[:, None], rbuf, sel_edges[wrow, slot]))
+        sel_hops = sel_hops.at[wrow, slot].set(
+            jnp.where(put, nh, sel_hops[wrow, slot]))
+        sel_comp = sel_comp.at[wrow, slot].set(
+            jnp.where(put, c_w, sel_comp[wrow, slot]))
+        n_sel = n_sel + put
+        # no path (or skipped comp) -> advance to next comp
+        c_w = jnp.where(lane_on & has, c_w, c_w + 1)
+        return (c_w, covered, sel_edges, sel_hops, sel_comp, n_sel,
+                fallback)
+
+    carry = (c_w, covered, sel_edges, sel_hops, sel_comp, n_sel, fallback)
+    carry = jax.lax.fori_loop(0, OUTER, outer_body, carry)
+    (c_w, covered, sel_edges, sel_hops, sel_comp, n_sel,
+     fallback) = carry
+    # windows still mid-walk after OUTER rounds: over budget
+    fallback = fallback | (c_w <= res["numcomp"])
+    return dict(sel_edges=sel_edges, sel_hops=sel_hops,
+                sel_comp=sel_comp, n_sel=n_sel, fallback=fallback)
+
+
+def _donor_tables(st, K, N, NI, US, LU):
+    """Per-unitig base->donor maps: donor_mer/donor_ci [W, US, LU] and
+    slot_of_item [W, NI] (-1 = not alive / over cap)."""
+    W = st["alive"].shape[0]
+    alive = st["alive"] & ~st["special"]
+    key = jnp.where(alive, jnp.arange(NI, dtype=jnp.int32)[None], BIG)
+    order = jnp.argsort(key, axis=1)[:, :US]
+    n_alive = alive.sum(axis=1)
+    slot_ok = jnp.arange(US, dtype=jnp.int32)[None] < n_alive[:, None]
+    over = n_alive > US
+    slot_of_item = jnp.full((W, NI), -1, jnp.int32)
+    slot_of_item = slot_of_item.at[
+        _wid(W, US), jnp.where(slot_ok, order, NI - 1)].set(
+        jnp.where(slot_ok, jnp.broadcast_to(
+            jnp.arange(US, dtype=jnp.int32)[None], (W, US)), -1),
+        mode="drop")
+    donor_mer = jnp.full((W, US, LU), -1, jnp.int32)
+    donor_ci = jnp.zeros((W, US, LU), jnp.int32)
+    donor_flip = jnp.zeros((W, US, LU), bool)
+    mi = jnp.clip(st["mer_item"], 0, NI - 1)
+    mslot = jnp.take_along_axis(slot_of_item, mi, 1)
+    klo, khi = st["keep_lo"], st["keep_hi"]
+    flip, pos = st["mer_flip"], st["mer_pos"]
+    NM = mi.shape[1]
+    over_lu = jnp.zeros((W,), bool)
+    midx = jnp.broadcast_to(jnp.arange(NM, dtype=jnp.int32)[None], (W, NM))
+    for j in range(K):
+        keep = (j >= klo) & (j < khi) & (mslot >= 0)
+        ci = jnp.where(flip, K - 1 - j, j)
+        tgt = pos + j
+        over_lu = over_lu | (keep & (tgt >= LU)).any(axis=1)
+        wr = keep & (tgt < LU)
+        donor_mer = donor_mer.at[
+            _wid(W, NM), jnp.where(wr, mslot, US),
+            jnp.clip(tgt, 0, LU - 1)].set(midx, mode="drop")
+        donor_ci = donor_ci.at[
+            _wid(W, NM), jnp.where(wr, mslot, US),
+            jnp.clip(tgt, 0, LU - 1)].set(ci, mode="drop")
+        donor_flip = donor_flip.at[
+            _wid(W, NM), jnp.where(wr, mslot, US),
+            jnp.clip(tgt, 0, LU - 1)].set(flip, mode="drop")
+    return donor_mer, donor_ci, donor_flip, slot_of_item, over | over_lu
+
+
+def materialize_jobs(st, b, paths, res, K, N, NI, Cmax, raw, max_mismatch,
+                     LP=1728, US=96, LU=1536, PN=48):
+    """Selected paths -> job tensors: pathseq codes, covT/covN [LP,4],
+    tumor_span [LP+1], needs_dp, is_rep (the find_repeats gate probes
+    the same selection sequence; ref Graph.cc:686-730, util.cc:317-360),
+    per-path comp and the comp's trim data."""
+    W, JMAX, _ = paths["sel_edges"].shape
+    donor_mer, donor_ci, donor_flip, slot_of_item, over_dt = _donor_tables(
+        st, K, N, NI, US, LU)
+    fallback = paths["fallback"] | over_dt
+
+    e_dst, e_dir = st["e_dst"], st["e_dir"]
+    merlen, special = st["merlen"], st["special"]
+    wrow3 = jnp.arange(W, dtype=jnp.int32)[:, None, None]
+    hops = paths["sel_edges"]  # [W, J, PN]
+    hsafe = jnp.clip(hops, 0, e_dst.shape[1] - 1)
+    hvalid = hops >= 0
+    nd = jnp.where(hvalid, e_dst[wrow3, hsafe], 0)  # node per hop
+    nori = jnp.where(hvalid,
+                     destbit(e_dir[wrow3, hsafe]).astype(jnp.int32), 0)
+    nds = jnp.clip(nd, 0, NI - 1)
+    nspec = jnp.take_along_axis(
+        special[:, None, :].repeat(JMAX, 1), nds, 2) | ~hvalid
+    nml = jnp.take_along_axis(
+        merlen[:, None, :].repeat(JMAX, 1), nds, 2)
+    Lh = jnp.where(nspec, 0, nml + K - 1)
+    nonspec_rank = jnp.cumsum((~nspec).astype(jnp.int32), axis=2)
+    first_ns = (~nspec) & (nonspec_rank == 1)
+    contrib = jnp.where(nspec, 0,
+                        jnp.where(first_ns, Lh, Lh - (K - 1)))
+    cum = jnp.cumsum(contrib, axis=2)  # [W, J, PN] == pathcontig his
+    Lp = cum[:, :, -1]
+    over_lp = (Lp > LP).any(axis=1)
+    fallback = fallback | over_lp
+
+    # per-position node lookup
+    p = jnp.arange(LP, dtype=jnp.int32)[None, None, :]
+    # h(p) = first hop with cum > p
+    hidx = (cum[:, :, None, :] <= p[:, :, :, None]).sum(axis=3)  # [W,J,LP]
+    hclip = jnp.clip(hidx, 0, PN - 1)
+    cumbefore = jnp.where(hidx > 0, jnp.take_along_axis(
+        cum, jnp.clip(hidx - 1, 0, PN - 1), 2), 0)
+    nd_p = jnp.take_along_axis(nd, hclip, 2)
+    ori_p = jnp.take_along_axis(nori, hclip, 2)
+    first_p = jnp.take_along_axis(first_ns, hclip, 2)
+    Lh_p = jnp.take_along_axis(Lh, hclip, 2)
+    off = p - cumbefore + jnp.where(first_p, 0, K - 1)
+    uidx = jnp.where(ori_p == 1, Lh_p - 1 - off, off)
+    slot_p = jnp.take_along_axis(
+        slot_of_item[:, None, :].repeat(JMAX, 1),
+        jnp.clip(nd_p, 0, NI - 1), 2)
+    pvalid = (p < Lp[:, :, None]) & (slot_p >= 0)
+    ls = jnp.clip(slot_p, 0, US - 1)
+    lu = jnp.clip(uidx, 0, LU - 1)
+    dm = donor_mer[wrow3, ls, lu]
+    dci = donor_ci[wrow3, ls, lu]
+    dfl = donor_flip[wrow3, ls, lu]
+    dm_ok = pvalid & (dm >= 0)
+    dms = jnp.clip(dm, 0, N - 1)
+    dcis = jnp.clip(dci, 0, K - 1)
+    base = b["mer_base"] if "mer_base" in b else None
+    mb = st["mer_base"]  # [W, N, K]
+    ch = mb[wrow3, dms, dcis].astype(jnp.int32)
+    comp_flip = dfl ^ (ori_p == 1)
+    pathseq = jnp.where(dm_ok, jnp.where(comp_flip, ch ^ 3, ch), 4)
+    counts = st["csum_mer"] if "csum_mer" in st else None
+    cnt = b["counts"]  # [W, N, 4] per-mer counts
+    mq = b["mq"].astype(jnp.int32)  # [W, N, K, 4]
+    covT = jnp.stack([
+        jnp.where(dm_ok, cnt[wrow3, dms, 0], 0),
+        jnp.where(dm_ok, cnt[wrow3, dms, 1], 0),
+        jnp.where(dm_ok, mq[wrow3, dms, dcis, 0], 0),
+        jnp.where(dm_ok, mq[wrow3, dms, dcis, 1], 0)], axis=-1)
+    covN = jnp.stack([
+        jnp.where(dm_ok, cnt[wrow3, dms, 2], 0),
+        jnp.where(dm_ok, cnt[wrow3, dms, 3], 0),
+        jnp.where(dm_ok, mq[wrow3, dms, dcis, 2], 0),
+        jnp.where(dm_ok, mq[wrow3, dms, dcis, 3], 0)], axis=-1)
+
+    # tumor_span [W, J, LP+1]: first node with hi >= pos; is_T per node
+    n_t = st["n_t"]
+    isT_item = (5 * n_t) > (4 * jnp.maximum(merlen, 1))  # frac > 0.8
+    isT = jnp.take_along_axis(
+        isT_item[:, None, :].repeat(JMAX, 1), nds, 2) & ~nspec
+    ps = jnp.arange(LP + 1, dtype=jnp.int32)[None, None, :]
+    hspan = (cum[:, :, None, :] < ps[:, :, :, None]).sum(axis=3)
+    span = jnp.take_along_axis(isT, jnp.clip(hspan, 0, PN - 1), 2)
+    span = span & (hspan < PN) & (ps <= Lp[:, :, None])
+
+    # needs_dp: hamming vs the comp's trimmed ref slice
+    comp_j = paths["sel_comp"]  # [W, J] 1-based
+    ends = res["ends"]
+    src_pos = jnp.take_along_axis(
+        ends["src_pos"], jnp.clip(comp_j - 1, 0, Cmax - 1), 1)
+    dist = jnp.take_along_axis(
+        ends["dist"], jnp.clip(comp_j - 1, 0, Cmax - 1), 1)
+    trim5 = src_pos
+    rp = jnp.clip(src_pos[:, :, None] + p, 0, raw.shape[1] - 1)
+    refch = jnp.take_along_axis(
+        raw[:, None, :].astype(jnp.int32).repeat(JMAX, 1), rp, 2)
+    mis = ((refch != pathseq) & (p < dist[:, :, None])).sum(axis=2)
+    needs_dp = (Lp != dist) | (mis > 5)
+
+    is_rep = _is_almost_repeat_paths(pathseq, Lp, K, max_mismatch, LP)
+
+    return dict(pathseq=pathseq.astype(jnp.int8), lp=Lp,
+                covT=covT.astype(jnp.int32), covN=covN.astype(jnp.int32),
+                span=span, needs_dp=needs_dp, is_rep=is_rep,
+                trim5=trim5, src_pos=src_pos, dist=dist,
+                n_sel=paths["n_sel"], sel_comp=comp_j,
+                fallback=fallback)
+
+
+def _is_almost_repeat_paths(seq, lens, K, max_mismatch, LP):
+    """isAlmostRepeat on path strings (ref: util.cc:317-360, mirrored by
+    engine.seqs.is_almost_repeat): any two (K+1)-windows at offsets
+    p < p+d (both <= L-K-1) with <= max_mismatch mismatches. Streamed
+    over the shift axis d with O(B*L) state."""
+    W, J, _ = seq.shape
+    B = W * J
+    s = seq.reshape(B, LP)
+    ln = lens.reshape(B)
+    # index-unique pad codes so OOB never matches
+    posi = jnp.arange(LP, dtype=jnp.int32)[None, :]
+    eff = jnp.where(posi < ln[:, None], s.astype(jnp.int32),
+                    50 + posi % 37)
+    w = K + 1
+    maxp = ln - K - 1  # both pattern and candidate offsets bounded
+
+    def body(hit, d):
+        shifted = jnp.roll(eff, -d, axis=1)
+        # roll wraps; wrapped tail positions exceed maxp checks anyway,
+        # and index-unique pads keep them mismatched
+        mneq = (shifted != eff).astype(jnp.int32)
+        cs = jnp.cumsum(mneq, axis=1)
+        zero = jnp.zeros((B, 1), jnp.int32)
+        csp = jnp.concatenate([zero, cs], axis=1)
+        # sums[p] = mismatches over window p..p+K (w wide)
+        sums = csp[:, w:] - csp[:, :-w]  # [B, LP-w+1]
+        pidx = jnp.arange(LP - w + 1, dtype=jnp.int32)[None, :]
+        valid = (pidx <= maxp[:, None] - d) & (pidx <= maxp[:, None]) \
+            & (d <= maxp[:, None])
+        return hit | (valid & (sums <= max_mismatch)).any(axis=1), None
+
+    hit0 = jnp.zeros((B,), bool)
+    hit, _ = jax.lax.scan(body, hit0, jnp.arange(1, LP, dtype=jnp.int32))
+    return hit.reshape(W, J)
 
 
 # unitig string cap for the short-link STR guard: merlen < K/2 mers ->

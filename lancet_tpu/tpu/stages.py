@@ -1,7 +1,8 @@
 """Device-side graph cleanup stages over the jit1 (tpu.dbg.build_k) node
 and edge tables: connected components, source/sink anchoring with
-CLIP_REF_ENDS, cycle gates as boolean matrix closures on the MXU, and
-unitig compression as pointer-jumping over mutual-buddy chains with
+CLIP_REF_ENDS, the cycle gate as an exact lockstep DFS replay (the
+reference's node-colored DFS is edge-order dependent), and unitig
+compression as pointer-jumping over mutual-buddy chains with
 donor-interval bookkeeping (ref: src/Graph.cc:2028-2336, :593-681,
 :2486-2732).
 
@@ -554,8 +555,117 @@ def tandem_at(seqs, lens, pos, max_unit_len, min_report_units,
 
 
 # ---------------------------------------------------------------------------
-# cycle gate (ref: Graph.cc:593-681) — port-graph boolean closure on MXU
+# cycle gate (ref: Graph.cc:593-681) — exact lockstep DFS replay.
+# The reference colors NODES (not node-direction states): a GREY hit in
+# either orientation reports a cycle, and a BLACK node is skipped even
+# when re-reached in the opposite direction, so the verdict depends on
+# edge-list order and is not expressible as a reachability closure.
 # ---------------------------------------------------------------------------
+
+def okey_adjacency(e_src, e_dst, e_dir, e_alive, e_okey, NI, D2):
+    """[W, NI, D2] edge ids per source in edge-list (okey) order."""
+    W, EE = e_src.shape
+    okey = edge_renorm(e_src, e_okey, e_alive, NI)
+    key1 = jnp.where(e_alive, e_src, BIG)
+    eidx = jnp.broadcast_to(jnp.arange(EE, dtype=jnp.int32)[None], (W, EE))
+    k1, _, perm = jax.lax.sort((key1, okey, eidx), num_keys=2,
+                               dimension=1, is_stable=True)
+    newrun = jnp.ones((W, EE), bool)
+    newrun = newrun.at[:, 1:].set(k1[:, 1:] != k1[:, :-1])
+    run_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(newrun, eidx, 0), axis=1)
+    slot = eidx - run_start
+    ea = jnp.take_along_axis(e_alive, perm, 1)
+    over = jnp.max(jnp.where(ea, slot + 1, 0), axis=1) > D2
+    adj = jnp.full((W, NI, D2), -1, jnp.int32)
+    adj = adj.at[_wid(W, EE), jnp.where(ea & (slot < D2), k1, NI),
+                 jnp.minimum(slot, D2 - 1)].set(perm, mode="drop")
+    return adj, over
+
+
+def has_cycle_seq(e_src, e_dst, e_dir, e_alive, e_okey, alive, special,
+                  N, NI, Cmax, D2=16):
+    """Per-comp cycle flags [W, Cmax] via an exact replay of
+    hasCycleRec's iterative DFS (engine.graph._cycle_dfs): two rooted
+    searches (source, F) then (source, R) sharing node colors, GREY-hit
+    in any orientation = cycle, specials skipped. Lanes walk their
+    components sequentially; all lanes run lockstep."""
+    W = alive.shape[0]
+    EE = e_src.shape[1]
+    adj, over_d = okey_adjacency(e_src, e_dst, e_dir, e_alive, e_okey,
+                                 NI, D2)
+    sb_all = startbit(e_dir).astype(jnp.int32)
+    db_all = destbit(e_dir).astype(jnp.int32)
+    wrow = jnp.arange(W, dtype=jnp.int32)
+    SD = NI + 2  # stack bound: each node pushed at most once per call
+
+    flags = []
+    for c in range(Cmax):
+        src_item = N + 2 * c
+        active0 = alive[:, src_item]
+
+        def one_call(d0, color):
+            """one _cycle_dfs(source, d0) call; returns (cyc, color)."""
+            s_node = jnp.zeros((W, SD), jnp.int32).at[:, 0].set(src_item)
+            s_dir = jnp.full((W, SD), d0, jnp.int32)
+            s_ei = jnp.zeros((W, SD), jnp.int32)
+            sp = jnp.where(active0, 1, 0)
+            color = color.at[:, src_item].set(
+                jnp.where(active0, 1, color[:, src_item]))
+            cyc = jnp.zeros((W,), bool)
+
+            def cond(s):
+                s_node, s_dir, s_ei, sp, color, cyc = s
+                return jnp.any((sp > 0) & ~cyc)
+
+            def body(s):
+                s_node, s_dir, s_ei, sp, color, cyc = s
+                act = (sp > 0) & ~cyc
+                tp = jnp.clip(sp - 1, 0, SD - 1)
+                nd = s_node[wrow, tp]
+                dr = s_dir[wrow, tp]
+                ei = s_ei[wrow, tp]
+                nds = jnp.clip(nd, 0, NI - 1)
+                e = adj[wrow, nds, jnp.clip(ei, 0, D2 - 1)]
+                exhausted = act & ((ei >= D2) | (e < 0))
+                # pop: node -> BLACK
+                color = color.at[wrow, nds].set(
+                    jnp.where(exhausted, 2, color[wrow, nds]))
+                sp = sp - exhausted
+                step = act & ~exhausted
+                s_ei = s_ei.at[wrow, tp].set(
+                    jnp.where(step, ei + 1, s_ei[wrow, tp]))
+                es = jnp.clip(e, 0, EE - 1)
+                match = step & (sb_all[wrow, es] == dr)
+                v = e_dst[wrow, es]
+                vs = jnp.clip(v, 0, NI - 1)
+                vspec = special[wrow, vs]
+                probe = match & ~vspec
+                vcol = color[wrow, vs]
+                cyc = cyc | (probe & (vcol == 1))
+                push = probe & (vcol == 0) & ~cyc
+                color = color.at[wrow, vs].set(
+                    jnp.where(push, 1, color[wrow, vs]))
+                ns = jnp.clip(sp, 0, SD - 1)
+                s_node = s_node.at[wrow, ns].set(
+                    jnp.where(push, v, s_node[wrow, ns]))
+                s_dir = s_dir.at[wrow, ns].set(
+                    jnp.where(push, db_all[wrow, es], s_dir[wrow, ns]))
+                s_ei = s_ei.at[wrow, ns].set(
+                    jnp.where(push, 0, s_ei[wrow, ns]))
+                sp = sp + push
+                return (s_node, s_dir, s_ei, sp, color, cyc)
+
+            s = (s_node, s_dir, s_ei, sp, color, cyc)
+            s = jax.lax.while_loop(cond, body, s)
+            return s[5], s[4]
+
+        # colors init once per has_cycle call (both sub-searches share)
+        color0 = jnp.zeros((W, NI), jnp.int8).astype(jnp.int32)
+        cyc_f, color1 = one_call(0, color0)
+        cyc_r, _ = one_call(1, color1)
+        flags.append((cyc_f | cyc_r) & active0)
+    return jnp.stack(flags, axis=1), over_d
 
 def compress_round(st, K, NI, N, Dcap=64):
     """One graph-wide compression pass (ref: Graph.cc:2486-2732): merge
@@ -736,105 +846,3 @@ def compress_round(st, K, NI, N, Dcap=64):
         mer_flip=new_flip, mer_pos=new_pos,
         keep_lo=klo3, keep_hi=khi3)
     return out, fallback
-
-
-def walk_jump(e_src, e_dst, e_dir, e_alive, alive, special, tandem, NI,
-              rounds=17):
-    """DFS-walk contraction: a *walk-interior* node (alive, non-special,
-    non-tandem, exactly one out-edge per direction) forwards state
-    (v, b) deterministically along its unique b-edge. Pointer jumping
-    yields, per state, the first non-interior state reached (or an
-    unterminated flag = the walk enters a pure interior cycle).
-
-    Returns (winterior [W,NI], end_state [W,2NI], unterm [W,2NI])."""
-    W, EE = e_src.shape
-    wid_e = _wid(W, EE)
-    sb = startbit(e_dir).astype(jnp.int32)
-    seg = jnp.where(e_alive, e_src * 2 + sb, NI * 2)
-    cnt = jnp.zeros((W, NI * 2 + 1), jnp.int32).at[wid_e, seg].add(
-        jnp.where(e_alive, 1, 0))[:, :-1].reshape(W, NI, 2)
-    one_dst = jnp.full((W, NI * 2 + 1), BIG, jnp.int32).at[
-        wid_e, seg].min(jnp.where(e_alive, e_dst, BIG))[:, :-1]
-    one_db = jnp.full((W, NI * 2 + 1), BIG, jnp.int32).at[
-        wid_e, seg].min(
-        jnp.where(e_alive, destbit(e_dir).astype(jnp.int32), BIG))[:, :-1]
-    one_dst = one_dst.reshape(W, NI, 2)
-    one_db = one_db.reshape(W, NI, 2)
-    winterior = (alive & ~special & ~tandem
-                 & (cnt[:, :, 0] == 1) & (cnt[:, :, 1] == 1))
-    S = NI * 2
-    valid = winterior[:, :, None].repeat(2, 2).reshape(W, S)
-    to = (one_dst * 2 + one_db).reshape(W, S)
-    sid = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (W, S))
-    nxt = jnp.where(valid, jnp.clip(to, 0, S - 1), sid)
-    dist = jnp.where(valid, 1, 0).astype(jnp.int32)
-    for _ in range(rounds):
-        dist = dist + jnp.take_along_axis(dist, nxt, 1)
-        nxt = jnp.take_along_axis(nxt, nxt, 1)
-    unterm = dist >= (1 << rounds)
-    return winterior, nxt, unterm
-
-
-def has_cycle(e_src, e_dst, e_dir, e_alive, alive, special, tandem,
-              N, Cmax, PC):
-    """Per-comp cycle flags [W, Cmax]: does a DFS from comp c's fake
-    source (both orientations) reach a directed cycle
-    (Graph.cc:593-681)? Walk-interior runs are contracted through
-    pointer jumps; the remaining ports index a [2*PC, 2*PC] boolean
-    transition matrix closed by log-step matmuls on the MXU. The last
-    port state is a dedicated CYC sink for walks that enter a pure
-    interior cycle. over_p flags port overflow."""
-    W, NI = alive.shape
-    EE = e_src.shape[1]
-    winterior, wend, wunterm = walk_jump(
-        e_src, e_dst, e_dir, e_alive, alive, special, tandem, NI)
-    is_port = alive & ~winterior
-    pidx = jnp.cumsum(is_port.astype(jnp.int32), axis=1) - 1  # per window
-    over_p = (jnp.max(jnp.where(is_port, pidx, -1), axis=1) + 1) > PC - 1
-    pidx = jnp.where(is_port, jnp.minimum(pidx, PC - 2), -1)
-    S = 2 * PC
-    CYC = S - 1  # dedicated on-cycle sink state (self-loop)
-    T = jnp.zeros((W, S, S), jnp.float32)
-    T = T.at[:, CYC, CYC].set(1.0)
-
-    sb = startbit(e_dir).astype(jnp.int32)
-    db = destbit(e_dir).astype(jnp.int32)
-    # edges out of port states; a walk-interior dst is contracted to the
-    # end of its walk; special dst is skipped (Graph.cc:665)
-    psrc = jnp.take_along_axis(pidx, jnp.clip(e_src, 0, NI - 1), 1)
-    dspec = jnp.take_along_axis(special, jnp.clip(e_dst, 0, NI - 1), 1)
-    d_int = jnp.take_along_axis(winterior, jnp.clip(e_dst, 0, NI - 1), 1)
-    dst_state = jnp.clip(e_dst * 2 + db, 0, NI * 2 - 1)
-    jump_end = jnp.take_along_axis(wend, dst_state, 1)
-    jump_bad = jnp.take_along_axis(wunterm, dst_state, 1)
-    tgt_state = jnp.where(d_int, jump_end, dst_state)
-    tgt_item = tgt_state // 2
-    ptgt = jnp.take_along_axis(pidx, jnp.clip(tgt_item, 0, NI - 1), 1)
-    ok = e_alive & (psrc >= 0) & ~dspec
-    col = jnp.where(jump_bad & d_int, CYC,
-                    jnp.where(ptgt >= 0, ptgt * 2 + (tgt_state & 1), CYC))
-    # a contracted walk that ends at a special item: the DFS stops there
-    # without expanding -- drop the transition
-    tspec = jnp.take_along_axis(special, jnp.clip(tgt_item, 0, NI - 1), 1)
-    ok = ok & (~tspec | (jump_bad & d_int))
-    r = jnp.where(ok, psrc * 2 + sb, 0)
-    col = jnp.where(ok, col, 0)
-    T = T.at[_wid(W, EE), r, col].max(jnp.where(ok, 1.0, 0.0))
-
-    # closure: R = T+ (at least one step)
-    R = T
-    for _ in range(9):  # 2^9 >= S
-        R = jnp.minimum(R + jnp.einsum("wij,wjk->wik", R, R), 1.0)
-    on_cycle = jnp.einsum("wss->ws", R) > 0  # [W, S]
-
-    flags = []
-    for c in range(Cmax):
-        fs = N + 2 * c
-        pfs = pidx[:, fs]
-        rows = jnp.take_along_axis(
-            R, jnp.clip(pfs, 0, PC - 1)[:, None, None] * 2
-            + jnp.arange(2)[None, :, None], 1)  # [W, 2, S]
-        reach = rows.max(axis=1) > 0  # [W, S]
-        cyc = (reach & on_cycle).any(axis=1) & (pfs >= 0)
-        flags.append(cyc)
-    return jnp.stack(flags, axis=1), over_p
