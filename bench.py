@@ -27,8 +27,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
 
 CORPUS_DIR = "/tmp/lancet_tpu_bench_corpus_v2"
+HARD_DIR = "/tmp/lancet_tpu_bench_corpus_hard_v1"
 REF_BIN = os.environ.get("LANCET_REF_BIN", "/tmp/refbuild/src/lancet")
 ANCHOR_FILE = os.path.join(CORPUS_DIR, "anchor_wps.txt")
+HARD_ANCHOR_FILE = os.path.join(HARD_DIR, "anchor_wps.txt")
 
 CHROM_LEN = 520_000
 EVENT_SPACING = 2000
@@ -69,6 +71,95 @@ def build_corpus():
                             0, 2000 + idx)
         idx += 1
     write_pair(CORPUS_DIR, refseq, "chr1", tumor, normal)
+    with open(marker, "w") as f:
+        f.write("ok")
+
+
+HARD_CHROM_LEN = 200_000
+HARD_SPACING = 2000
+
+
+def build_hard_corpus():
+    """Adversarial corpus: window families that exercise the reference's
+    expensive behaviors — STR-dense (findTandems + near-STR filters,
+    util.cc:574-758), near-repeat segments (isAlmostRepeat gates forcing
+    k>min_k, util.cc:317-360), homopolymer runs (HPS/HPSN/HPST), dense
+    het SNV clusters (bubble/path pressure, Microassembler.cc:109-235),
+    and high-coverage spikes. The k-retry tail carries real weight here:
+    the per-k success histogram in the bench breakdown shows it."""
+    import random
+
+    from helpers import make_reference, write_pair
+    from goldengen import hap_reads
+
+    os.makedirs(HARD_DIR, exist_ok=True)
+    marker = os.path.join(HARD_DIR, "ok")
+    if os.path.exists(marker):
+        return
+    rng = random.Random(777)
+    base = list(make_reference(HARD_CHROM_LEN, seed=555))
+    half = HARD_SPACING // 2
+    other = {"A": "C", "C": "G", "G": "T", "T": "A"}
+
+    # plant adversarial sequence content around each event site
+    centers = list(range(half, HARD_CHROM_LEN - half, HARD_SPACING))
+    fams = []
+    for idx, c in enumerate(centers):
+        fam = ["str", "nearrep", "homopoly", "dense", "highcov",
+               "plain"][idx % 6]
+        fams.append(fam)
+        if fam == "str":
+            # (AC)x18 + (AGC)x10 microsatellites flanking the event: exact
+            # k-mer repeats gate k up to the run length
+            run1 = "AC" * 18
+            run2 = "AGC" * 10
+            base[c - 60 : c - 60 + len(run1)] = run1
+            base[c + 20 : c + 20 + len(run2)] = run2
+        elif fam == "nearrep":
+            # duplicate a 24bp block 60bp downstream with 1 mismatch:
+            # isAlmostRepeat gates k<=23 -> the k loop must climb
+            seg = base[c - 30 : c - 6]
+            seg2 = list(seg)
+            seg2[11] = other[seg2[11]]
+            base[c + 30 : c + 30 + 24] = seg2
+        elif fam == "homopoly":
+            base[c - 40 : c - 16] = "A" * 24
+    refseq = "".join(base)
+
+    tumor, normal = [], []
+    for idx, c in enumerate(centers):
+        fam = fams[idx]
+        lo, hi = c - half, c + half
+        step, extra_edits = STEP, []
+        if fam == "str":
+            edit = ("i", c + 21, "AGC")  # unit-length indel inside the STR
+        elif fam == "nearrep":
+            edit = ("s", c + 60, other[refseq[c + 60]])
+        elif fam == "homopoly":
+            edit = ("d", c - 30, 1)  # 1bp del inside the homopolymer
+        elif fam == "dense":
+            edit = ("s", c, other[refseq[c]])
+            # het SNV forest around the event: bubbles at every k
+            extra_edits = [("s", c + off, other[refseq[c + off]])
+                           for off in (-90, -60, -33, 27, 54, 81)]
+        elif fam == "highcov":
+            edit = ("s", c, other[refseq[c]])
+            step = 2  # ~100x spike
+        else:
+            edit = ("s", c, other[refseq[c]])
+        tumor += hap_reads(refseq, edit, lo, hi, READ_LEN, step,
+                           f"t{idx}_", 0.5, 3000 + idx)
+        for j, e in enumerate(extra_edits):
+            # germline hets: present in BOTH samples (no somatic call)
+            tumor += hap_reads(refseq, e, max(lo, e[1] - 140),
+                               min(hi, e[1] + 140), READ_LEN, 11,
+                               f"tx{idx}_{j}_", 0.5, 4000 + 7 * idx + j)
+            normal += hap_reads(refseq, e, max(lo, e[1] - 140),
+                                min(hi, e[1] + 140), READ_LEN, 11,
+                                f"nx{idx}_{j}_", 0.5, 5000 + 7 * idx + j)
+        normal += hap_reads(refseq, None, lo, hi, READ_LEN, step,
+                            f"n{idx}_", 0, 6000 + idx)
+    write_pair(HARD_DIR, refseq, "chr1", tumor, normal)
     with open(marker, "w") as f:
         f.write("ok")
 
@@ -115,21 +206,22 @@ def ensure_ref_binary() -> bool:
     return os.path.exists(REF_BIN)
 
 
-def count_windows(region: str) -> int:
+def count_windows(region: str, corpus: str = CORPUS_DIR) -> int:
     from lancet_tpu.io.fasta import FastaFile
     from lancet_tpu.windows import generate_windows
 
-    fa = FastaFile(os.path.join(CORPUS_DIR, "ref.fa"))
+    fa = FastaFile(os.path.join(corpus, "ref.fa"))
     return len(generate_windows(fa, [region], fa.lengths, 600, 250))
 
 
-def run_ours(region: str, stats: dict | None = None) -> tuple[float, str]:
+def run_ours(region: str, stats: dict | None = None,
+             corpus: str = CORPUS_DIR) -> tuple[float, str]:
     from lancet_tpu.config import Config
     from lancet_tpu.runner import run
 
-    cfg = Config(tumor_bam=os.path.join(CORPUS_DIR, "tumor.bam"),
-                 normal_bam=os.path.join(CORPUS_DIR, "normal.bam"),
-                 ref_fasta=os.path.join(CORPUS_DIR, "ref.fa"),
+    cfg = Config(tumor_bam=os.path.join(corpus, "tumor.bam"),
+                 normal_bam=os.path.join(corpus, "normal.bam"),
+                 ref_fasta=os.path.join(corpus, "ref.fa"),
                  region=region, num_threads=8)
     t0 = time.time()
     vcf = run(cfg, command_line="bench", date="D\n", engine="tpu",
@@ -137,14 +229,15 @@ def run_ours(region: str, stats: dict | None = None) -> tuple[float, str]:
     return time.time() - t0, vcf
 
 
-def run_reference(region: str) -> tuple[float, str] | None:
+def run_reference(region: str,
+                  corpus: str = CORPUS_DIR) -> tuple[float, str] | None:
     if not os.path.exists(REF_BIN):
         return None
     t0 = time.time()
     r = subprocess.run(
-        [REF_BIN, "--tumor", os.path.join(CORPUS_DIR, "tumor.bam"),
-         "--normal", os.path.join(CORPUS_DIR, "normal.bam"),
-         "--ref", os.path.join(CORPUS_DIR, "ref.fa"),
+        [REF_BIN, "--tumor", os.path.join(corpus, "tumor.bam"),
+         "--normal", os.path.join(corpus, "normal.bam"),
+         "--ref", os.path.join(corpus, "ref.fa"),
          "--reg", region, "--num-threads", "8"],
         capture_output=True, text=True, timeout=7200)
     if r.returncode != 0:
@@ -152,10 +245,12 @@ def run_reference(region: str) -> tuple[float, str] | None:
     return time.time() - t0, r.stdout
 
 
-def pallas_parity_check() -> bool | None:
+def pallas_parity_check(sample_pairs=None) -> bool | None:
     """On TPU: assert the compiled Pallas fill and the lax.scan fill agree
-    on sample window-scale alignments (closes the CI hole where tests only
-    exercise the scan fill)."""
+    on window-scale alignments. `sample_pairs` are REAL DP jobs sampled
+    from the bench run itself (stats["dp_samples"], up to 64 across the
+    run's actual shape/length buckets); synthetic pairs are only the
+    fallback when a run produced no DP jobs."""
     import jax
 
     if jax.default_backend() != "tpu":
@@ -164,22 +259,24 @@ def pallas_parity_check() -> bool | None:
 
     from lancet_tpu.tpu.align_batch import batch_align
 
-    rng = random.Random(7)
-    bases = "ACGT"
-    pairs = []
-    for _ in range(16):
-        n = rng.randint(400, 1100)
-        s = "".join(rng.choice(bases) for _ in range(n))
-        t = list(s)
-        for _ in range(rng.randint(1, 8)):  # SNVs
-            p = rng.randrange(len(t))
-            t[p] = rng.choice(bases)
-        p = rng.randrange(len(t) - 10)  # one indel
-        if rng.random() < 0.5:
-            t[p:p] = [rng.choice(bases) for _ in range(rng.randint(1, 6))]
-        else:
-            del t[p : p + rng.randint(1, 6)]
-        pairs.append((s, "".join(t)))
+    pairs = list(sample_pairs or [])
+    if not pairs:
+        rng = random.Random(7)
+        bases = "ACGT"
+        for _ in range(16):
+            n = rng.randint(400, 1100)
+            s = "".join(rng.choice(bases) for _ in range(n))
+            t = list(s)
+            for _ in range(rng.randint(1, 8)):  # SNVs
+                p = rng.randrange(len(t))
+                t[p] = rng.choice(bases)
+            p = rng.randrange(len(t) - 10)  # one indel
+            if rng.random() < 0.5:
+                t[p:p] = [rng.choice(bases)
+                          for _ in range(rng.randint(1, 6))]
+            else:
+                del t[p : p + rng.randint(1, 6)]
+            pairs.append((s, "".join(t)))
     os.environ["LANCET_TPU_PALLAS"] = "1"
     try:
         got_pallas = batch_align(pairs)
@@ -238,11 +335,60 @@ def main():
         anchor = None
         anchor_state = "unavailable"
 
-    parity = pallas_parity_check()
+    parity = pallas_parity_check(stats.get("dp_samples"))
 
     breakdown = {k: round(v, 3) for k, v in stats.items()
                  if isinstance(v, float)}
     breakdown.update({k: v for k, v in stats.items() if isinstance(v, int)})
+    if "k_histogram" in stats:  # per-k success counts (device graph path)
+        breakdown["k_histogram"] = {str(k): v for k, v
+                                    in stats["k_histogram"].items()}
+    breakdown["n_dp_samples"] = len(stats.get("dp_samples", ()))
+
+    # ---- adversarial corpus: STR/near-repeat/homopolymer/dense/high-cov
+    # families where the k-retry tail carries real weight --------------
+    hard = None
+    if not os.environ.get("LANCET_TPU_BENCH_SKIP_HARD"):
+        build_hard_corpus()
+        hregion = f"chr1:300-{HARD_CHROM_LEN - 300}"
+        nwin_h = count_windows(hregion, HARD_DIR)
+        hstats: dict = {}
+        with contextlib.redirect_stderr(io.StringIO()):
+            run_ours(hregion, corpus=HARD_DIR)  # warm
+        h_elapsed, h_vcf = run_ours(hregion, hstats, corpus=HARD_DIR)
+        h_wps = nwin_h / h_elapsed
+        href = run_reference(hregion, HARD_DIR) if have_ref else None
+        h_anchor, h_conc, h_state = None, None, "unavailable"
+        if href is not None:
+            h_ref_elapsed, h_ref_vcf = href
+            h_anchor = nwin_h / h_ref_elapsed
+            h_state = "live"
+            with open(HARD_ANCHOR_FILE, "w") as f:
+                f.write(str(h_anchor))
+            ours_h = sorted(l for l in h_vcf.splitlines()
+                            if not l.startswith("#"))
+            ref_h = sorted(l for l in h_ref_vcf.splitlines()
+                           if not l.startswith("#"))
+            h_conc = {"matched": sum(1 for r in ref_h if r in ours_h),
+                      "ref_total": len(ref_h), "ours_total": len(ours_h)}
+        elif os.path.exists(HARD_ANCHOR_FILE):
+            h_anchor = float(open(HARD_ANCHOR_FILE).read())
+            h_state = "stale"
+        khist = {str(k): v for k, v in hstats.get("k_histogram", {}).items()}
+        n_done = sum(khist.values()) or 1
+        hard = {
+            "windows": nwin_h,
+            "wps": round(h_wps, 3),
+            "vs_baseline": round(h_wps / h_anchor, 4) if h_anchor else None,
+            "anchor": h_state,
+            "anchor_wps": round(h_anchor, 3) if h_anchor else None,
+            "concordance": h_conc,
+            "k_histogram": khist,
+            "frac_k_gt_min": round(
+                sum(v for k, v in khist.items() if int(k) > 11) / n_done, 4),
+            "n_dev_windows": hstats.get("n_dev_windows"),
+            "n_dev_fallback": hstats.get("n_dev_fallback"),
+        }
 
     print(f"# windows={nwin} elapsed={elapsed:.2f}s "
           f"anchor_wps={anchor} ({anchor_state}) concordance={concordance} "
@@ -259,6 +405,7 @@ def main():
         "concordance": concordance,
         "breakdown": breakdown,
         "pallas_parity": parity,
+        "hard": hard,
     }))
 
 

@@ -130,6 +130,11 @@ def run_device_graph(tasks: list[WindowTask], cfg, stats: dict | None = None,
         else:
             buckets.setdefault(bi, []).append(t)
 
+    import os as _os
+    import sys as _sys
+    import time as _time
+    progress = bool(_os.environ.get("LANCET_TPU_PROGRESS"))
+
     n_attempts = 0
     for bi, group in sorted(buckets.items()):
         R, L, N, E = _BUCKETS[bi]
@@ -137,6 +142,10 @@ def run_device_graph(tasks: list[WindowTask], cfg, stats: dict | None = None,
         for K in ks:
             if not pending:
                 break
+            if progress:
+                print(f"[devgraph] bucket {bi} k={K} pending={len(pending)}"
+                      f" t={_time.strftime('%H:%M:%S')}",
+                      file=_sys.stderr, flush=True)
             # reference-repeat gate for this k, batched on device
             # (Microassembler.cc:118-131): gated windows skip to next k
             gates = np.asarray(repeat_gates(
@@ -177,10 +186,22 @@ def _run_chunk(chunk, cfg, K, W, R, L, N, E, Lraw, mesh):
         if batch.overflow[w]:
             batch.window_ok[w] = False
 
+    # under a mesh, commit the batch inputs sharded on the window axis so
+    # the build executable itself is partitioned (GSPMD propagates the
+    # sharding; each device builds its window shard's graph)
+    def dev(x):
+        if mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        return jax.device_put(x, NamedSharding(mesh, PartitionSpec("w")))
+
     b = build_k(
-        K, batch.bases, batch.quals, batch.rlen, batch.rsample,
-        batch.rstrand, batch.rfrag, batch.rorder, batch.raw, batch.rawlen,
-        batch.seq_off, batch.seq_len, batch.totalreadbp, batch.window_ok,
+        K, dev(batch.bases), dev(batch.quals), dev(batch.rlen),
+        dev(batch.rsample), dev(batch.rstrand), dev(batch.rfrag),
+        dev(batch.rorder), dev(batch.raw), dev(batch.rawlen),
+        dev(batch.seq_off), dev(batch.seq_len), dev(batch.totalreadbp),
+        dev(batch.window_ok),
         N=N, E=E, D=_D, Lraw=Lraw, min_qual_call=cfg.min_qual_call,
         low_cov_threshold=cfg.low_cov_threshold,
         min_cov_ratio=cfg.min_cov_ratio)

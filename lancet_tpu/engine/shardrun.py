@@ -251,6 +251,12 @@ def run_shards_device(cfg, windows, tumor, normal,
     t0 = _time.perf_counter()
     all_jobs = [(t, j) for t in tasks if not t.fallback for j in t.jobs]
     dp_jobs = [(t, j) for t, j in all_jobs if j.needs_dp]
+    if stats is not None and dp_jobs:
+        # sample real DP jobs for bench.py's on-chip Pallas parity check
+        # (real shape/length buckets, not synthetic pairs)
+        step = max(1, len(dp_jobs) // 64)
+        stats["dp_samples"] = [(j.refseq, j.pathseq)
+                               for _, j in dp_jobs[::step]][:64]
     aligned = {}
     if dp_jobs:
         if mesh is not None:
@@ -611,6 +617,12 @@ def run_shards(cfg, windows, tumor, normal, stats: dict | None = None,
                 "latin-1")
             pairs.append((w.rawseq[src : src + dist], pathseq))
         t_mid = _time.perf_counter()
+        if stats is not None and pairs:
+            # sample real DP jobs for bench.py's Pallas parity check
+            samples = stats.setdefault("dp_samples", [])
+            if len(samples) < 64:
+                step = max(1, len(pairs) // (64 - len(samples)))
+                samples.extend(pairs[::step][: 64 - len(samples)])
         state = None
         if pairs:
             if mesh is not None:

@@ -9,15 +9,15 @@ results are gathered with all_gather (ICI collectives, no NCCL/MPI).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..engine.align import GAP_EXTEND, GAP_OPEN, MATCH, MISMATCH
+try:  # jax >= 0.8: top-level; the experimental path warns and will go away
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 
 def make_mesh(n_devices: int | None = None) -> Mesh:
@@ -27,123 +27,39 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.array(devs), ("w",))
 
 
-def _dp_scores_local(S, T, n_len, m_len):
-    """Per-shard wavefront Gotoh DP returning M[n, m] scores for the
-    shard's pairs (scores-only variant of tpu.align_batch used by the
-    sharded step; traceback planes stay shard-local in the full path)."""
-    P_, N1 = S.shape
-    M_ = T.shape[1] - 1
-    N = N1 - 1
-    go = jnp.int32(GAP_OPEN)
-    ge = jnp.int32(GAP_EXTEND)
-    idx = jnp.arange(N + 1)
-    TR = jnp.concatenate([T[:, ::-1], jnp.zeros((P_, N + 1), T.dtype)], axis=1)
+def shard_windows_jit(impl, mesh: Mesh):
+    """Production window-axis data parallelism: jit `impl` (a pure batched
+    pipeline step whose every input/output leaf has the window batch as its
+    leading axis) with that axis sharded over `mesh`.
 
-    def boundary(d):
-        return go + jnp.int32(d) * ge
+    This is the TPU-native analog of the reference's round-robin windows
+    over worker threads (Lancet.cc:305-310, 844-928; SURVEY.md §2.3 row 1):
+    each device runs build/cleanup/path-cover on its window shard, and the
+    outputs are gathered back to every host as fixed-width records — XLA
+    lowers the output resharding to all_gathers that ride ICI, the
+    collective merge the reference does with a mutex'd VariantDB
+    (Lancet.cc:938-959). Per-window results are independent of the
+    sharding, so the VCF is device-count invariant by construction."""
+    shard = NamedSharding(mesh, P("w"))
+    repl = NamedSharding(mesh, P())
 
-    M1 = jnp.where(idx[None, :] <= 1, boundary(1), 0) * jnp.ones((P_, 1), jnp.int32)
-    X1 = jnp.where(idx[None, :] == 0, boundary(1), 0) * jnp.ones((P_, 1), jnp.int32)
-    Y1 = jnp.where(idx[None, :] == 1, boundary(1), 0) * jnp.ones((P_, 1), jnp.int32)
-    M0 = jnp.zeros((P_, N + 1), jnp.int32)
-    # inside shard_map the carry must be marked varying along the mesh axis
-    try:
-        M1, X1, Y1, M0 = (jax.lax.pvary(x, ("w",)) for x in (M1, X1, Y1, M0))
-    except Exception:
-        pass  # outside shard_map / axis not bound
+    def wrapped(*args):
+        args = jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(x, shard), args)
+        out = impl(*args)
+        # region/abort counters: reduced across the mesh (an XLA psum),
+        # the cross-worker counter merge of Lancet.cc:930-970
+        counters = jnp.stack([
+            jnp.sum(out["numcomp"].astype(jnp.int32)),
+            jnp.sum(out["n_sel"].astype(jnp.int32)),
+            jnp.sum(out["fallback"].astype(jnp.int32)),
+        ])
+        out = dict(out)
+        out["mesh_counters"] = counters
+        return jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(x, repl), out)
 
-    sc0 = jnp.zeros((P_,), jnp.int32)
-    try:
-        sc0 = jax.lax.pvary(sc0, ("w",))
-    except Exception:
-        pass
-
-    def step(carry, d):
-        Mp, Xp, Yp, Mp2, sc = carry
-        Mp_s = jnp.roll(Mp, 1, axis=1)
-        Xp_s = jnp.roll(Xp, 1, axis=1)
-        Mp2_s = jnp.roll(Mp2, 1, axis=1)
-        Xc = jnp.maximum(Xp_s + ge, Mp_s + go)
-        Yc = jnp.maximum(Yp + ge, Mp + go)
-        start = jnp.maximum(M_ - d, 0)
-        tc = jax.lax.dynamic_slice_in_dim(TR, start, N + 1, axis=1)
-        tc = jnp.roll(tc, jnp.maximum(d - M_, 0), axis=1)
-        sub = jnp.where(S == tc, jnp.int32(MATCH), jnp.int32(MISMATCH))
-        Mc = jnp.maximum(Mp2_s + sub, jnp.maximum(Xc, Yc))
-        b = boundary(d)
-        is0 = idx[None, :] == 0
-        isd = idx[None, :] == d
-        Mc = jnp.where(is0 | isd, b, Mc)
-        Xc = jnp.where(is0, b, Xc)
-        Yc = jnp.where(isd, b, Yc)
-        # capture the (n, m) cell when its diagonal is filled
-        val = jnp.take_along_axis(Mc, n_len[:, None], axis=1)[:, 0]
-        sc = jnp.where(d == n_len + m_len, val, sc)
-        return (Mc, Xc, Yc, Mp, sc), None
-
-    (_, _, _, _, sc), _ = jax.lax.scan(step, (M1, X1, Y1, M0, sc0),
-                                       jnp.arange(2, N + M_ + 1))
-    return sc
-
-
-def sharded_window_step(mesh: Mesh, seq, lens, S, T, n_len, m_len,
-                        ks: tuple, max_mismatch: int):
-    """One full SPMD step over the window/pair axis, exercising every
-    collective the framework's scale-out story needs (SURVEY.md §2.3):
-
-    - per-device repeat-gate kernel over its window shard ([W, nk] local)
-    - per-device wavefront Gotoh scores over its pair shard
-    - psum counter reduction (the reference's cross-thread counter merge,
-      Lancet.cc:930-970)
-    - tiled all_gather of fixed-width per-pair records (the variant-record
-      merge path: fixed-width structs ride ICI; host dedups by signature)
-
-    Returns (gates[W, nk], scores[P], records[P, 3], stats[2]) with gates/
-    scores/records sharded over "w" and stats replicated.
-    """
-    from ..tpu.repeats import gates_impl
-
-    def local(seq_l, lens_l, S_l, T_l, n_l, m_l):
-        gates, _ = gates_impl(seq_l, lens_l, ks, max_mismatch, axis="w")
-        sc = _dp_scores_local(S_l, T_l, n_l, m_l)
-        gated = jax.lax.psum(jnp.sum(gates[:, 0].astype(jnp.int32)), "w")
-        total = jax.lax.psum(jnp.sum(sc), "w")
-        cnt = jax.lax.psum(jnp.asarray(sc.shape[0], jnp.int32), "w")
-        rec = jnp.stack([sc, n_l, m_l], axis=1)  # fixed-width records
-        allrec = jax.lax.all_gather(rec, "w", axis=0, tiled=True)
-        stats = jnp.stack([total.astype(jnp.float32) / cnt,
-                           gated.astype(jnp.float32)])
-        return gates, sc, allrec, stats
-
-    kw = dict(mesh=mesh,
-              in_specs=(P("w", None), P("w"), P("w", None),
-                        P("w", None), P("w"), P("w")),
-              out_specs=(P("w", None), P("w"), P(None, None), P(None)))
-    try:
-        # the all_gather-ed records are replicated by construction, which
-        # the varying-mesh-axes checker cannot infer
-        fn = shard_map(local, check_vma=False, **kw)
-    except TypeError:  # older jax spelling
-        fn = shard_map(local, check_rep=False, **kw)
-    return jax.jit(fn)(seq, lens, S, T, n_len, m_len)
-
-
-def sharded_step(mesh: Mesh, S, T, n_len, m_len):
-    """One SPMD step over the pair axis: per-shard DP + collective stats.
-
-    Returns (scores[P], global_mean_score[1]) — the psum emulates the
-    reference's cross-thread counter merge (Lancet.cc:930-959)."""
-
-    def local(S_l, T_l, n_l, m_l):
-        sc = _dp_scores_local(S_l, T_l, n_l, m_l)
-        total = jax.lax.psum(jnp.sum(sc), "w")
-        cnt = jax.lax.psum(sc.shape[0], "w")
-        return sc, (total.astype(jnp.float32) / cnt) * jnp.ones((1,), jnp.float32)
-
-    fn = shard_map(local, mesh=mesh,
-                   in_specs=(P("w", None), P("w", None), P("w"), P("w")),
-                   out_specs=(P("w"), P(None)))
-    return jax.jit(fn)(S, T, n_len, m_len)
+    return jax.jit(wrapped)
 
 
 # ---------------------------------------------------------------------------

@@ -102,11 +102,16 @@ def _process_shard(ma, cfg, shard, shard_idx, resume_state) -> None:
 
 def run(cfg: Config, command_line: str = "lancet-tpu", date: str | None = None,
         engine: str = "oracle", processes: bool = False,
-        stats: dict | None = None, mesh=None) -> str:
+        stats: dict | None = None, mesh=None, shard_filter=None,
+        collect: dict | None = None) -> str:
     """Run the caller; returns the VCF text. `processes=True` fans shards
     out to a process pool (host parallelism; device work still batches
     per shard). `stats`, if given, is filled with per-stage wall seconds
-    (gates / host graph stage / device DP / finish) and counts."""
+    (gates / host graph stage / device DP / finish) and counts.
+    `shard_filter(global_shard_idx) -> bool` keeps a subset of shards
+    (multi-host fan-out); `collect`, if given, receives the per-shard
+    variant DBs instead of a merged VCF (the caller merges in global
+    shard order — parallel.multihost does this across processes)."""
     if stats is None:
         stats = {}
     t_start = time.perf_counter()
@@ -148,6 +153,19 @@ def run(cfg: Config, command_line: str = "lancet-tpu", date: str | None = None,
                                cfg.window_size, cfg.padding)
     shards = shard_windows(windows, cfg.num_threads)
 
+    # Multi-host fan-out: every process computes the identical global
+    # shard decomposition, keeps only the shards `shard_filter` selects,
+    # and (via `collect`) hands back per-shard DBs for the coordinator's
+    # shard-order merge — the TPU-native analog of the reference's qsub
+    # cluster fan-out + VCF merge (README.md:70-88, Lancet.cc:938-959).
+    shard_ids = list(range(len(shards)))
+    if shard_filter is not None:
+        shard_ids = [i for i in shard_ids if shard_filter(i)]
+        shards = [shards[i] for i in shard_ids]
+        windows_local = [w for s in shards for w in s]
+    else:
+        windows_local = windows
+
     if cfg.print_config_file:
         # reference writes config.txt in the working directory
         # (Lancet.cc:829-834, 118-185)
@@ -168,6 +186,13 @@ def run(cfg: Config, command_line: str = "lancet-tpu", date: str | None = None,
     merged = VariantDB(cfg.lr_mode)
     all_times: list = []
     counters = []
+
+    def _absorb(si_local: int, vdb) -> None:
+        if collect is not None:
+            collect.setdefault("shard_dbs", []).append(
+                (shard_ids[si_local], vdb.db))
+        else:
+            merged.merge_from(vdb)
 
     # Native batched shard runner: the whole host stage (fetch, triage,
     # filters, per-k graph) runs in C++ threads; Python does the device DP
@@ -238,7 +263,7 @@ def run(cfg: Config, command_line: str = "lancet-tpu", date: str | None = None,
                             all_times.append((w.name, float(res.times[wi]),
                                               int(res.reads[wi])))
                     pos += 1
-                merged.merge_from(vdb)
+                _absorb(si, vdb)
             if fb_ma is not None:
                 counters.append(fb_ma.counters)
             counters.append(ctr)
@@ -348,25 +373,25 @@ def run(cfg: Config, command_line: str = "lancet-tpu", date: str | None = None,
                 aligned = {id(j): r for j, r in zip(dp_jobs, out)}
             stats["t_dp"] = time.perf_counter() - t0
             t0 = time.perf_counter()
-            for vdb, times, ctr, jobs in results:
+            for si, (vdb, times, ctr, jobs) in enumerate(results):
                 for j in jobs:
                     ra, pa = (aligned[id(j)] if j.needs_dp
                               else (j.refseq, j.pathseq))
                     finish_path(j, ra, pa, cfg_eff, vdb)
-                merged.merge_from(vdb)
+                _absorb(si, vdb)
                 all_times.extend(times)
                 counters.append(ctr)
             stats["t_finish"] = time.perf_counter() - t0
         else:
-            for vdb, times, ctr, _ in results:
-                merged.merge_from(vdb)
+            for si, (vdb, times, ctr, _) in enumerate(results):
+                _absorb(si, vdb)
                 all_times.extend(times)
                 counters.append(ctr)
     else:
         for i, shard in enumerate(shards):
             ma = Microassembler(cfg_eff, readers=(tumor, normal), engine=engine)
             _process_shard(ma, cfg_eff, shard, i, resume_state[i])
-            merged.merge_from(ma.vdb)
+            _absorb(i, ma.vdb)
             all_times.extend(ma.window_times)
             counters.append(ma.counters)
 
@@ -378,10 +403,15 @@ def run(cfg: Config, command_line: str = "lancet-tpu", date: str | None = None,
                 f.write(_json.dumps({"window": name, "ms": round(ms, 3),
                                      "reads": reads}) + "\n")
 
-    _print_summary(counters, len(windows))
+    _print_summary(counters, len(windows_local))
 
     stats["t_total"] = time.perf_counter() - t_start
-    stats["n_windows"] = len(windows)
+    stats["n_windows"] = len(windows_local)
+
+    if collect is not None:
+        collect.setdefault("shard_dbs", [])
+        collect["lr_mode"] = cfg.lr_mode
+        return ""
 
     if date is None:
         date = time.asctime() + "\n"

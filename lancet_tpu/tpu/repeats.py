@@ -26,9 +26,12 @@ def _pvary(x, axis):
     if axis is None:
         return x
     try:
-        return jax.lax.pvary(x, (axis,))
+        return jax.lax.pcast(x, (axis,), to="varying")
     except Exception:
-        return x
+        try:
+            return jax.lax.pvary(x, (axis,))  # pre-0.9 jax
+        except Exception:
+            return x
 
 
 def gates_impl(seq, lens, ks: tuple, max_mismatch: int, axis: str | None = None):
@@ -81,10 +84,17 @@ def repeat_gates(windows: list[str], ks: list[int], max_mismatch: int,
         z = np.zeros((0, len(ks)), bool)
         return (z, z) if with_exact else z
     nw = len(windows)
-    # stable shape buckets: L to a 128 multiple, W to a power of two —
-    # one compiled executable serves every shard of a run
+    # stable shape buckets: L to a 128 multiple, W to a 2-size ladder —
+    # the per-k retry loop calls this with every pending-count in a run,
+    # and each distinct W is its own XLA executable (minutes of compile
+    # through a tunneled TPU), so small/large is the whole ladder
     L = ((max(8, max(len(w) for w in windows)) + 127) // 128) * 128
-    W = 1 << max(3, (nw - 1).bit_length())
+    if nw <= 256:
+        W = 256
+    elif nw <= 2048:
+        W = 2048
+    else:
+        W = 1 << (nw - 1).bit_length()
     seq = np.zeros((W, L), np.uint8)
     lens = np.zeros(W, np.int32)  # pad rows: len 0 -> never gated
     for i, w in enumerate(windows):
