@@ -104,13 +104,25 @@ def _bucket_for(task, Lraw):
 
 
 def run_device_graph(tasks: list[WindowTask], cfg, stats: dict | None = None,
-                     W: int = 32, Lraw: int = 1152, mesh=None) -> None:
+                     W: int | None = None, Lraw: int = 1152,
+                     mesh=None) -> None:
     """Process tasks in place: fills .jobs/.done/.fallback per window.
 
     Jobs carry everything engine.extract.finish_path needs; callers
     align + finish them in task order. `mesh` shards the window batch
-    axis of every pipeline step over a jax.sharding.Mesh."""
+    axis of every pipeline step over a jax.sharding.Mesh.
+
+    W (window-batch width) is the device-throughput lever: every
+    sequential lockstep stage (cycle DFS, ordered removal sweeps, BFS
+    rounds) costs the same wall time per chunk regardless of W, so wide
+    chunks amortize it. Small runs (tests, dryrun) keep W=32 so their
+    executables stay cheap to compile; production-size runs use 128."""
     _enable_compile_cache()
+    if W is None:
+        W = 128 if len(tasks) > 48 else 32
+    if mesh is not None:
+        ndev = int(mesh.devices.size)
+        W = max(ndev, W // ndev * ndev)  # shardable on the window axis
     import jax.numpy as jnp
 
     from ..tpu import pipeline
@@ -157,7 +169,7 @@ def run_device_graph(tasks: list[WindowTask], cfg, stats: dict | None = None,
                 chunk = attempt[lo : lo + W]
                 n_attempts += 1
                 fb, retry = _run_chunk(chunk, cfg, K, W, R, L, N, E, Lraw,
-                                       mesh)
+                                       mesh, stats)
                 next_pending.extend(retry)
             pending = next_pending
         for t in pending:
@@ -167,10 +179,12 @@ def run_device_graph(tasks: list[WindowTask], cfg, stats: dict | None = None,
             + n_attempts
 
 
-def _run_chunk(chunk, cfg, K, W, R, L, N, E, Lraw, mesh):
+def _run_chunk(chunk, cfg, K, W, R, L, N, E, Lraw, mesh, stats=None):
     """One build+assemble attempt for <= W windows at k=K. Returns
     (fallback_tasks, retry_tasks); jobs are appended to tasks that
     succeed or abort after emitting earlier components."""
+    import time as _time
+
     import jax
     import jax.numpy as jnp
 
@@ -178,6 +192,13 @@ def _run_chunk(chunk, cfg, K, W, R, L, N, E, Lraw, mesh):
     from ..tpu.dbg import build_k
     from ..tpu.pack import WindowBatch, map_ranks, pack_window, unpack_mers
 
+    def mark(key, t0):
+        t1 = _time.perf_counter()
+        if stats is not None:
+            stats[key] = stats.get(key, 0.0) + (t1 - t0)
+        return t1
+
+    t0 = _time.perf_counter()
     batch = WindowBatch(W, R, L, Lraw)
     for w, t in enumerate(chunk):
         pack_window(batch, w, t.reads, t.rawseq, t.seq_off, t.seq_len,
@@ -185,6 +206,7 @@ def _run_chunk(chunk, cfg, K, W, R, L, N, E, Lraw, mesh):
     for w, t in enumerate(chunk):
         if batch.overflow[w]:
             batch.window_ok[w] = False
+    t0 = mark("t_dg_pack", t0)
 
     # under a mesh, commit the batch inputs sharded on the window axis so
     # the build executable itself is partitioned (GSPMD propagates the
@@ -210,6 +232,7 @@ def _run_chunk(chunk, cfg, K, W, R, L, N, E, Lraw, mesh):
     mers_hi = np.asarray(b["mers_hi"])
     mers_lo = np.asarray(b["mers_lo"])
     n_nodes = np.asarray(b["n_nodes"])
+    t0 = mark("t_dg_build", t0)  # build exec + D2H of the mer tables
     ranks = np.full((W, N), 1 << 28, np.int32)
     rank_bad = np.zeros(W, bool)
     merslist: list[list[str]] = []
@@ -223,12 +246,14 @@ def _run_chunk(chunk, cfg, K, W, R, L, N, E, Lraw, mesh):
         ranks[w, :nn] = r
         if slack < 2 * _CMAX:  # fake-node inserts could trigger a rehash
             rank_bad[w] = True
+    t0 = mark("t_dg_ranks", t0)
 
     out = _assemble(b, jnp.asarray(ranks), K, N, E,
                     jnp.asarray(batch.raw), _cfg_scalars(cfg, K),
                     int(cfg.dfs_limit) or (1 << 30),
                     int(cfg.max_indel_len), int(cfg.max_mismatch), mesh)
     res = {k: np.asarray(v) for k, v in out.items()}
+    t0 = mark("t_dg_assemble", t0)
 
     fallback_tasks, retry = [], []
     for w, t in enumerate(chunk):
@@ -239,6 +264,7 @@ def _run_chunk(chunk, cfg, K, W, R, L, N, E, Lraw, mesh):
         _finish_window(t, w, res, merslist[w], K, cfg, Lraw)
         if not t.done:
             retry.append(t)
+    mark("t_dg_finish", t0)
     return fallback_tasks, retry
 
 

@@ -201,33 +201,88 @@ def run(cfg: Config, command_line: str = "lancet-tpu", date: str | None = None,
     import os
 
     use_native = (engine == "tpu" and not cfg.lr_mode and not cfg.kmer_recovery
-                  and not cfg.print_graph and not cfg.resume_dir
+                  and not cfg.print_graph
                   and not os.environ.get("LANCET_TPU_NO_SHARDRUN"))
     if use_native:
         from .engine.shardrun import (device_graph_enabled, run_shards,
                                       run_shards_device)
 
-        ordered = []
-        shard_of = []
-        for si, shard in enumerate(shards):
-            sw = sorted(shard, key=lambda w: w.name)
-            ordered.extend(sw)
-            shard_of.extend([si] * len(sw))
-        if device_graph_enabled():
-            res = run_shards_device(cfg_eff, ordered, tumor, normal,
-                                    stats=stats, mesh=mesh)
-        else:
-            res = run_shards(cfg_eff, ordered, tumor, normal, stats=stats,
-                             mesh=mesh)
-        if res is not None:
-            from .engine.micro import ShardCounters
+        # per-shard window lists; with --resume-dir the run is split into
+        # chunked rounds, each followed by an fsync'd per-shard log append
+        # (windows + their variant records), so a crash resumes mid-run
+        # on the SAME fast path (round-1 gap: resume used to drop to the
+        # per-window python engine)
+        shard_wins = [sorted(shard, key=lambda w: w.name)
+                      for shard in shards]
+        logs = None
+        chunk = None
+        if cfg.resume_dir:
+            from .checkpoint import ShardLog, shard_log_path
 
-            ctr = ShardCounters()
-            fb_ma = None
+            logs = [ShardLog(shard_log_path(cfg.resume_dir, i))
+                    for i in range(len(shards))]
+            todo = [[w for w in sw if w.name not in resume_state[i][0]]
+                    for i, sw in enumerate(shard_wins)]
+            chunk = int(os.environ.get("LANCET_TPU_RESUME_CHUNK", "256"))
+        else:
+            todo = shard_wins
+
+        shard_vdbs = [VariantDB(cfg.lr_mode) for _ in shards]
+        if cfg.resume_dir:
+            for i, (_, replay) in enumerate(resume_state):
+                for v in replay:
+                    shard_vdbs[i].add_var(v)
+
+        from .engine.micro import ShardCounters
+
+        ctr = ShardCounters()
+        fb_ma = None
+        trace = bool(cfg.trace_file)
+        n_fallback = 0
+        failed = False
+        n_rounds = (1 if chunk is None else
+                    max([(len(t) + chunk - 1) // chunk for t in todo] or [1])
+                    or 1)
+
+        def acc_stats(rs):
+            for k, v in rs.items():
+                if isinstance(v, float):
+                    stats[k] = stats.get(k, 0.0) + v
+                elif isinstance(v, int):
+                    stats[k] = stats.get(k, 0) + v
+                elif k == "k_histogram":
+                    h = stats.setdefault("k_histogram", {})
+                    for kk, vv in v.items():
+                        h[kk] = h.get(kk, 0) + vv
+                else:
+                    stats[k] = v
+
+        for rnd in range(n_rounds):
+            ordered = []
+            shard_of = []
+            for si, t in enumerate(todo):
+                sub = t if chunk is None else t[rnd * chunk:(rnd + 1) * chunk]
+                ordered.extend(sub)
+                shard_of.extend([si] * len(sub))
+            if not ordered:
+                continue
+            rstats: dict = {}
+            if device_graph_enabled():
+                res = run_shards_device(cfg_eff, ordered, tumor, normal,
+                                        stats=rstats, mesh=mesh)
+            else:
+                res = run_shards(cfg_eff, ordered, tumor, normal,
+                                 stats=rstats, mesh=mesh)
+            if res is None:
+                failed = True
+                break
+            acc_stats(rstats)
             pos = 0
-            trace = bool(cfg.trace_file)
             for si in range(len(shards)):
-                vdb = VariantDB(cfg.lr_mode)
+                vdb = shard_vdbs[si]
+                win_names: list = []
+                if logs is not None:
+                    vdb.record_sink = []
                 while pos < len(ordered) and shard_of[pos] == si:
                     wi = pos
                     w = ordered[wi]
@@ -262,20 +317,31 @@ def run(cfg: Config, command_line: str = "lancet-tpu", date: str | None = None,
                         if trace:
                             all_times.append((w.name, float(res.times[wi]),
                                               int(res.reads[wi])))
+                    win_names.append(w.name)
                     pos += 1
-                _absorb(si, vdb)
-            if fb_ma is not None:
-                counters.append(fb_ma.counters)
-            counters.append(ctr)
-            # surface native→python replays: a silent 100%-fallback
-            # regression must look like an error, not a perf mystery
-            stats["n_fallback"] = len(res.fallback)
+                if logs is not None:
+                    if win_names:
+                        logs[si].append_chunk(win_names, vdb.record_sink)
+                    vdb.record_sink = None
+            n_fallback += len(res.fallback)
             if res.fallback:
                 import sys as _sys
                 print(f"WARNING: {len(res.fallback)} windows replayed on "
                       "the python engine (native shard runner fallback)",
                       file=_sys.stderr)
-            use_native = True
+
+        if logs is not None:
+            for lg in logs:
+                lg.close()
+        if not failed:
+            for si in range(len(shards)):
+                _absorb(si, shard_vdbs[si])
+            if fb_ma is not None:
+                counters.append(fb_ma.counters)
+            counters.append(ctr)
+            # surface native->python replays: a silent 100%-fallback
+            # regression must look like an error, not a perf mystery
+            stats["n_fallback"] = n_fallback
         else:
             use_native = False
 

@@ -112,7 +112,11 @@ def cleanup(st, K, N, NI, cfg_s, avgcov, U=256, D2=24, TIP_ROUNDS=6):
     st, fb = stages.compress_round(st, K, NI, N)
     fallback |= fb
 
-    # removeTips fixpoint (Graph.cc:2885-2926)
+    # removeTips fixpoint (Graph.cc:2885-2926). Early-exit while_loop:
+    # once a round removes nothing in any lane the remaining rounds are
+    # identity (a removal-free sweep leaves st unchanged and compressing
+    # an already-compressed graph is idempotent), so converged batches
+    # skip straight to the convergence check.
     max_tip = cfg_s["max_tip_len"]
 
     def tip_cond(st):
@@ -124,12 +128,18 @@ def cleanup(st, K, N, NI, cfg_s, avgcov, U=256, D2=24, TIP_ROUNDS=6):
 
         return cond
 
-    for _ in range(TIP_ROUNDS):
+    def tip_body(carry):
+        r, st, fallback, _any = carry
         st, removed_any, over = stages._seq_removal_pass(
             st, tip_cond(st), U, D2)
-        fallback |= over
+        fallback = fallback | over
         st, fb = stages.compress_round(st, K, NI, N)
-        fallback |= fb
+        fallback = fallback | fb
+        return r + 1, st, fallback, jnp.any(removed_any)
+
+    r, st, fallback, _ = jax.lax.while_loop(
+        lambda c: (c[0] < TIP_ROUNDS) & ((c[0] == 0) | c[3]),
+        tip_body, (jnp.int32(0), st, fallback, jnp.bool_(True)))
     # non-convergence check: one more pass must remove nothing
     st2, removed_any, over = stages._seq_removal_pass(
         st, tip_cond(st), U, D2)
@@ -191,16 +201,33 @@ def run_attempt(b, ranks, K, N, E, Cmax, cfg_s, PC=192):
     same_anchor = (ends["anchored"]
                    & (ends["src_nid"] == ends["snk_nid"])).any(axis=1)
 
+    # cycle gates: a parallel screen proves the common case (acyclic,
+    # orientation-consistent) clean, so the exact sequential DFS replay
+    # only walks the rare flagged lanes. The pre-cleanup graph has long
+    # raw-mer chains (slow fixpoints), so the screen runs on a throwaway
+    # compressed copy — compression preserves walk cycles and
+    # dual-orientation reachability, the only two things the quirky
+    # node-colored DFS can flag.
+    st_scr, fb_scr = stages.compress_round(dict(st), K, NI, N)
+    scr1 = stages.cycle_screen(
+        st_scr["e_src"], st_scr["e_dst"], st_scr["e_dir"],
+        st_scr["e_alive"], st_scr["alive"], st_scr["special"],
+        st_scr["comp"], N, NI, Cmax) | fb_scr[:, None]
     cyc1, over_p1 = stages.has_cycle_seq(
         st["e_src"], st["e_dst"], st["e_dir"], st["e_alive"],
-        st["e_okey"], st["alive"], st["special"], N, NI, Cmax)
+        st["e_okey"], st["alive"], st["special"], N, NI, Cmax,
+        lane_mask=scr1)
 
     avgcov = b["avgcov"]
     st, fb_clean = cleanup(st, K, N, NI, cfg_s, avgcov)
 
+    scr2 = stages.cycle_screen(
+        st["e_src"], st["e_dst"], st["e_dir"], st["e_alive"],
+        st["alive"], st["special"], st["comp"], N, NI, Cmax)
     cyc2, over_p2 = stages.has_cycle_seq(
         st["e_src"], st["e_dst"], st["e_dir"], st["e_alive"],
-        st["e_okey"], st["alive"], st["special"], N, NI, Cmax, D2=24)
+        st["e_okey"], st["alive"], st["special"], N, NI, Cmax, D2=24,
+        lane_mask=scr2)
 
     fallback = (b["fallback"] | over_c | over_p1 | over_p2 | fb_clean
                 | same_anchor)
@@ -295,36 +322,35 @@ def path_cover(st, res, K, N, NI, Cmax, reflens, dfs_limit, max_indel,
             bs = jnp.where(better, sc, bs)
             expand = act & ~at_sink & ~(ln > reflen + max_indel)
             its = jnp.clip(it, 0, NI - 1)
-            for s2 in range(D2):
-                e = adj[wrow, its, s2]
-                es = jnp.clip(e, 0, EE - 1)
-                okc = (expand & (e >= 0)
-                       & (sb_all[wrow, es] == dr))
-                dst = e_dst[wrow, es]
-                dsts = jnp.clip(dst, 0, NI - 1)
-                spec = special[wrow, dsts]
-                nlen = ln + jnp.where(spec, 1 - K, merlen[wrow, dsts])
-                cov_e = covered[wrow, es]
-                ts = jnp.clip(tail, 0, Q - 1)
-                wr = okc & (tail < Q)
-                over_q = over_q | (okc & (tail >= Q))
-                tgt = jnp.where(wr, ts, Q - 1)
-                qi = qi.at[wrow, tgt].set(
-                    jnp.where(wr, dst, qi[wrow, tgt]))
-                qd = qd.at[wrow, tgt].set(
-                    jnp.where(wr, destbit(e_dir[wrow, es]).astype(
-                        jnp.int32), qd[wrow, tgt]))
-                qp = qp.at[wrow, tgt].set(
-                    jnp.where(wr, head, qp[wrow, tgt]))
-                qe = qe.at[wrow, tgt].set(jnp.where(wr, e, qe[wrow, tgt]))
-                ql = ql.at[wrow, tgt].set(
-                    jnp.where(wr, nlen, ql[wrow, tgt]))
-                qf = qf.at[wrow, tgt].set(
-                    jnp.where(wr, fl & cov_e, qf[wrow, tgt]))
-                qs = qs.at[wrow, tgt].set(
-                    jnp.where(wr, sc + (~cov_e).astype(jnp.int32),
-                              qs[wrow, tgt]))
-                tail = tail + wr
+            # all D2 adjacency slots expanded in ONE batched scatter per
+            # queue array (FIFO slot order = cumulative position among
+            # valid expansions, identical to the slot-sequential writes)
+            w2 = wrow[:, None]
+            e = adj[wrow, its, :]  # [W, D2]
+            es = jnp.clip(e, 0, EE - 1)
+            okc = expand[:, None] & (e >= 0) & (sb_all[w2, es]
+                                                == dr[:, None])
+            dst = e_dst[w2, es]
+            dsts = jnp.clip(dst, 0, NI - 1)
+            spec = special[w2, dsts]
+            nlen = ln[:, None] + jnp.where(spec, 1 - K, merlen[w2, dsts])
+            cov_e = covered[w2, es]
+            pos = jnp.cumsum(okc.astype(jnp.int32), axis=1) - okc
+            tgt = tail[:, None] + pos
+            wr = okc & (tgt < Q)
+            over_q = over_q | jnp.any(okc & (tgt >= Q), axis=1)
+            tgt_w = jnp.where(wr, tgt, Q)  # out-of-range -> dropped
+            qi = qi.at[w2, tgt_w].set(dst, mode="drop")
+            qd = qd.at[w2, tgt_w].set(
+                destbit(e_dir[w2, es]).astype(jnp.int32), mode="drop")
+            qp = qp.at[w2, tgt_w].set(
+                jnp.broadcast_to(head[:, None], tgt_w.shape), mode="drop")
+            qe = qe.at[w2, tgt_w].set(e, mode="drop")
+            ql = ql.at[w2, tgt_w].set(nlen, mode="drop")
+            qf = qf.at[w2, tgt_w].set(fl[:, None] & cov_e, mode="drop")
+            qs = qs.at[w2, tgt_w].set(
+                sc[:, None] + (~cov_e).astype(jnp.int32), mode="drop")
+            tail = tail + jnp.sum(wr, axis=1)
             head = head + act
             return (qi, qd, qp, qe, ql, qf, qs, head, tail, visits, bi,
                     bs, over_q, on, pops + 1)

@@ -434,28 +434,36 @@ def _seq_removal_pass(st, cond_fn, U, D2):
     nbr, deg, over2 = _nbr_table(st, NI, D2)
     wrow = jnp.arange(W, dtype=jnp.int32)
 
-    def body(carry, i):
-        deg, removed = carry
-        it = slots[:, i]
+    # sweep bound: the widest lane's live-slot count (the scan over a
+    # fixed U=256 slots made every sweep pay the worst case; post-compress
+    # graphs have tens of live unitigs, so this is the wall-time lever for
+    # the sequential-order replay)
+    n_slots = jnp.minimum((slots >= 0).sum(axis=1), U)
+    max_slots = jnp.max(n_slots)
+
+    def body(s):
+        i, deg, removed = s
+        it = slots[:, jnp.clip(i, 0, U - 1)]
         safe = jnp.clip(it, 0, NI - 1)
         on = (it >= 0) & ~jnp.take_along_axis(
             removed, safe[:, None], 1)[:, 0]
         d = jnp.take_along_axis(deg, safe[:, None], 1)[:, 0]
         kill = on & cond_fn(safe, d)
-        # decrement neighbor degrees once per alive edge row
-        for s in range(D2):
-            nb = nbr[wrow, safe, s]
-            ok = kill & (nb >= 0) & (nb != safe) & ~jnp.take_along_axis(
-                removed, jnp.clip(nb, 0, NI - 1)[:, None], 1)[:, 0]
-            deg = deg.at[wrow, jnp.where(ok, nb, NI - 1)].add(
-                jnp.where(ok, -1, 0))
+        # decrement neighbor degrees once per alive edge row — one
+        # batched scatter-add over all D2 slots (the decrements commute)
+        nb = nbr[wrow, safe, :]  # [W, D2]
+        nbs = jnp.clip(nb, 0, NI - 1)
+        ok = (kill[:, None] & (nb >= 0) & (nb != safe[:, None])
+              & ~jnp.take_along_axis(removed, nbs, 1))
+        deg = deg.at[wrow[:, None], jnp.where(ok, nb, NI - 1)].add(
+            jnp.where(ok, -1, 0))
         removed = removed.at[wrow, safe].set(
             jnp.take_along_axis(removed, safe[:, None], 1)[:, 0] | kill)
-        return (deg, removed), kill
+        return i + 1, deg, removed
 
-    (deg, removed), kills = jax.lax.scan(
-        body, (deg, jnp.zeros((W, NI), bool)),
-        jnp.arange(U, dtype=jnp.int32))
+    _, deg, removed = jax.lax.while_loop(
+        lambda s: s[0] < max_slots, body,
+        (jnp.int32(0), deg, jnp.zeros((W, NI), bool)))
     removed_any = removed.any(axis=1)
     return remove_items(st, removed), removed_any, over | over2
 
@@ -583,8 +591,90 @@ def okey_adjacency(e_src, e_dst, e_dir, e_alive, e_okey, NI, D2):
     return adj, over
 
 
+def cycle_screen(e_src, e_dst, e_dir, e_alive, alive, special, comp,
+                 N, NI, Cmax, T=32):
+    """Conservative parallel screen for the quirky node-colored cycle
+    DFS: returns may_cycle [W, Cmax] — False is a PROOF that
+    has_cycle_seq would report no cycle for that component, True routes
+    the component to the exact sequential replay.
+
+    The quirky DFS (ref Graph.cc hasCycleRec: node colors, not
+    node-direction states) can flag a "cycle" in two ways only: a GREY
+    hit via a genuine directed cycle in the (node, dir) walk digraph, or
+    a GREY/colored hit on a node reached in BOTH orientations. So a
+    component is provably clean when (a) its reachable walk digraph is
+    acyclic — shown by a Kahn peel that fully drains in <= T layers —
+    and (b) no non-special node is reachable in both orientations.
+    Everything else (true cycles, palindromic dual-orientation reach,
+    peel/reach not converged within T) is flagged. All checks are
+    parallel fixpoints over the full edge list — no sequential walk."""
+    W, EE = e_src.shape
+    NS = 2 * NI
+    wrow = jnp.arange(W, dtype=jnp.int32)[:, None]
+    sb = startbit(e_dir).astype(jnp.int32)
+    db = destbit(e_dir).astype(jnp.int32)
+    srcs = jnp.clip(e_src, 0, NI - 1)
+    dsts = jnp.clip(e_dst, 0, NI - 1)
+    # walk edges (u, startbit) -> (v, destbit); the DFS never enters
+    # special dsts, so those edges don't exist in the walk digraph
+    eact = (e_alive & jnp.take_along_axis(alive, srcs, 1)
+            & jnp.take_along_axis(alive, dsts, 1)
+            & ~jnp.take_along_axis(special, dsts, 1))
+    s_state = srcs * 2 + sb
+    d_state = dsts * 2 + db
+
+    # --- reachability from the source anchors (both orientations) ------
+    reach = jnp.zeros((W, NS), bool)
+    for c in range(Cmax):  # static Cmax roots
+        item = N + 2 * c
+        on = alive[:, item]
+        reach = reach.at[:, 2 * item].max(on)
+        reach = reach.at[:, 2 * item + 1].max(on)
+
+    def relax(s):
+        i, reach, changed = s
+        m = jnp.take_along_axis(reach, s_state, 1) & eact
+        new = reach.at[wrow, d_state].max(m)
+        return i + 1, new, jnp.any(new != reach, axis=1)
+
+    _, reach, r_unconv = jax.lax.while_loop(
+        lambda s: (s[0] < T) & jnp.any(s[2]), relax,
+        (jnp.int32(0), reach, jnp.ones((W,), bool)))
+
+    # --- Kahn peel of the non-special walk digraph ---------------------
+    nonspec = ~jnp.repeat(special, 2, axis=1)
+    live = nonspec & jnp.repeat(alive, 2, axis=1)
+    indeg = jnp.zeros((W, NS), jnp.int32).at[wrow, d_state].add(
+        eact.astype(jnp.int32))
+
+    def peel(s):
+        i, live, indeg, changed = s
+        f = live & (indeg == 0)
+        fsrc = jnp.take_along_axis(f, s_state, 1) & eact
+        indeg = indeg.at[wrow, d_state].add(-fsrc.astype(jnp.int32))
+        return i + 1, live & ~f, indeg, jnp.any(f)
+
+    _, leftover, _, _ = jax.lax.while_loop(
+        lambda s: (s[0] < T) & s[3], peel,
+        (jnp.int32(0), live, indeg, jnp.bool_(True)))
+
+    # --- flag states: un-peeled reachable, or dual-orientation reach ---
+    reach2 = reach.reshape(W, NI, 2)
+    dual = (reach2[:, :, 0] & reach2[:, :, 1]
+            & alive & ~special)  # [W, NI]
+    left_item = (leftover & reach).reshape(W, NI, 2).any(axis=2)
+    flag_item = (left_item | dual) & alive & ~special
+    flag_item = flag_item | r_unconv[..., None]  # reach under-approx
+
+    # per-comp reduction via the component labels
+    may = jnp.zeros((W, Cmax + 2), bool).at[
+        _wid(W, NI), jnp.clip(comp, 0, Cmax + 1)].max(
+        flag_item & (comp > 0))
+    return may[:, 1 : Cmax + 1]
+
+
 def has_cycle_seq(e_src, e_dst, e_dir, e_alive, e_okey, alive, special,
-                  N, NI, Cmax, D2=16):
+                  N, NI, Cmax, D2=16, lane_mask=None):
     """Per-comp cycle flags [W, Cmax] via an exact replay of
     hasCycleRec's iterative DFS (engine.graph._cycle_dfs): two rooted
     searches (source, F) then (source, R) sharing node colors, GREY-hit
@@ -603,6 +693,11 @@ def has_cycle_seq(e_src, e_dst, e_dir, e_alive, e_okey, alive, special,
     for c in range(Cmax):
         src_item = N + 2 * c
         active0 = alive[:, src_item]
+        if lane_mask is not None:
+            # cycle_screen proved these comps DFS-clean: their lanes sit
+            # out (the lockstep walk costs max-over-lanes, so a fully
+            # screened batch pays ~zero iterations)
+            active0 = active0 & lane_mask[:, c]
 
         def one_call(d0, color):
             """one _cycle_dfs(source, d0) call; returns (cyc, color)."""
