@@ -164,6 +164,50 @@ def build_hard_corpus():
         f.write("ok")
 
 
+LR_DIR = "/tmp/lancet_tpu_bench_corpus_lr_v1"
+LR_CHROM_LEN = 60_000
+
+
+def build_lr_corpus():
+    """Linked-reads corpus: BX barcodes + HP haplotypes on every read
+    (ref: Microassembler.cc:582-593, Variant.cc:53-60). Used for the
+    measured LR-mode number — LR runs on the python engine path (the
+    native plane doesn't carry BX/HP payloads yet; see PARITY.md)."""
+    import random
+
+    from helpers import make_reference, write_pair
+    from goldengen import hap_reads
+
+    os.makedirs(LR_DIR, exist_ok=True)
+    marker = os.path.join(LR_DIR, "ok")
+    if os.path.exists(marker):
+        return
+    rng = random.Random(909)
+    refseq = make_reference(LR_CHROM_LEN, seed=808)
+    other = {"A": "C", "C": "G", "G": "T", "T": "A"}
+    tumor, normal = [], []
+    half = EVENT_SPACING // 2
+    for idx, c in enumerate(range(half, LR_CHROM_LEN - half,
+                                  EVENT_SPACING)):
+        edit = ("s", c, other[refseq[c]])
+        t = hap_reads(refseq, edit, c - half, c + half, READ_LEN, STEP,
+                      f"t{idx}_", 0.5, 7000 + idx)
+        n = hap_reads(refseq, None, c - half, c + half, READ_LEN, STEP,
+                      f"n{idx}_", 0, 8000 + idx)
+        for al in t + n:
+            off = c - al.pos
+            has_alt = 0 <= off < READ_LEN and al.seq[off] != refseq[c]
+            bc = rng.randrange(6)
+            al.tags["BX"] = ("Z", f"BX{bc:03d}-1")
+            al.tags["HP"] = ("i", (2 if has_alt else 1)
+                             if rng.random() < 0.8 else 0)
+        tumor += t
+        normal += n
+    write_pair(LR_DIR, refseq, "chr1", tumor, normal)
+    with open(marker, "w") as f:
+        f.write("ok")
+
+
 def ensure_ref_binary() -> bool:
     """Build the reference lancet out-of-repo if missing (recipe from the
     verify skill). Returns True when REF_BIN exists afterwards."""
@@ -390,6 +434,51 @@ def main():
             "n_dev_fallback": hstats.get("n_dev_fallback"),
         }
 
+    # ---- LR (linked-reads) mode: measured number for the python-engine
+    # path (native plane carries no BX/HP payloads yet; PARITY.md) ------
+    lr = None
+    if not os.environ.get("LANCET_TPU_BENCH_SKIP_LR"):
+        from lancet_tpu.config import Config as _Cfg
+        from lancet_tpu.runner import run as _run
+
+        build_lr_corpus()
+        lregion = f"chr1:300-{LR_CHROM_LEN - 300}"
+        nwin_l = count_windows(lregion, LR_DIR)
+        lcfg = _Cfg(tumor_bam=os.path.join(LR_DIR, "tumor.bam"),
+                    normal_bam=os.path.join(LR_DIR, "normal.bam"),
+                    ref_fasta=os.path.join(LR_DIR, "ref.fa"),
+                    region=lregion, num_threads=8, lr_mode=True,
+                    active_regions=False)  # matches ref -l invocations
+        t0 = time.time()
+        with contextlib.redirect_stderr(io.StringIO()):
+            l_vcf = _run(lcfg, command_line="bench", date="D\n",
+                         engine="tpu", processes=True)
+        l_wps = nwin_l / (time.time() - t0)
+        l_anchor, l_conc = None, None
+        if have_ref:
+            t0 = time.time()
+            r = subprocess.run(
+                [REF_BIN, "--tumor", lcfg.tumor_bam, "--normal",
+                 lcfg.normal_bam, "--ref", lcfg.ref_fasta, "--reg",
+                 lregion, "--num-threads", "8", "--linked-reads",
+                 "--active-region-off"],
+                capture_output=True, text=True, timeout=7200)
+            if r.returncode == 0:
+                l_anchor = nwin_l / (time.time() - t0)
+                ours_l = sorted(x for x in l_vcf.splitlines()
+                                if not x.startswith("#"))
+                ref_l = sorted(x for x in r.stdout.splitlines()
+                               if not x.startswith("#"))
+                l_conc = {"matched": sum(1 for x in ref_l if x in ours_l),
+                          "ref_total": len(ref_l),
+                          "ours_total": len(ours_l)}
+        lr = {"windows": nwin_l, "wps": round(l_wps, 3),
+              "vs_baseline": (round(l_wps / l_anchor, 4)
+                              if l_anchor else None),
+              "anchor_wps": round(l_anchor, 3) if l_anchor else None,
+              "concordance": l_conc,
+              "engine": "python (native waiver: no BX/HP payloads)"}
+
     print(f"# windows={nwin} elapsed={elapsed:.2f}s "
           f"anchor_wps={anchor} ({anchor_state}) concordance={concordance} "
           f"breakdown={breakdown} pallas_parity={parity}",
@@ -406,6 +495,7 @@ def main():
         "breakdown": breakdown,
         "pallas_parity": parity,
         "hard": hard,
+        "lr": lr,
     }))
 
 

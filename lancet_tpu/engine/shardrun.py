@@ -476,9 +476,11 @@ def run_shards(cfg, windows, tumor, normal, stats: dict | None = None,
     # ~46 gates per window, while the native k-loop consults them lazily —
     # one cheap hash scan per *attempted* k of an *active* window (most
     # windows never reach the k loop; most active windows succeed at
-    # min_k). Profiling on the 5,195-window bench corpus: 6.2s device
-    # sweep vs <0.1s lazy native scans. LANCET_TPU_GATES=1 re-enables the
-    # device path (it stays exercised by tests and the mesh demo).
+    # min_k). Profiling on the 5,195-window bench corpus: 6.2s eager
+    # device sweep vs <0.1s lazy native scans. On the device graph path
+    # (run_shards_device) the device gates DO win — they run lazily per
+    # pending k inside devicepipe.run_device_graph. LANCET_TPU_GATES=1
+    # re-enables the eager sweep here for A/B measurement only.
     t0 = _time.perf_counter()
     gates_arr = np.zeros(0, np.uint8)
     exact_arr = np.zeros(0, np.uint8)
