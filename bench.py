@@ -358,6 +358,38 @@ def main():
     wps = nwin / elapsed
     wps_cold = nwin / elapsed1
 
+    # ---- device graph engine configuration (LANCET_TPU_DEVGRAPH=1):
+    # the full colored-DBG build/cleanup/path-cover on the TPU. Measured
+    # every run beside the default so the engine-selection decision
+    # (DESIGN.md 'Measured crossover') stays backed by current numbers.
+    devgraph = None
+    if not os.environ.get("LANCET_TPU_BENCH_SKIP_DEVGRAPH"):
+        dg_region = f"chr1:300-{min(CHROM_LEN - 300, 100_000)}"
+        nwin_dg = count_windows(dg_region)
+        os.environ["LANCET_TPU_DEVGRAPH"] = "1"
+        try:
+            dgstats: dict = {}
+            dg_elapsed, dg_vcf = run_ours(dg_region, dgstats)
+            base_vcf = run_ours(dg_region)[1]
+        finally:
+            del os.environ["LANCET_TPU_DEVGRAPH"]
+        t_dev = sum(dgstats.get(k, 0.0) for k in
+                    ("t_dg_build", "t_dg_assemble", "t_dp"))
+        devgraph = {
+            "windows": nwin_dg,
+            "wps": round(nwin_dg / dg_elapsed, 3),
+            "vcf_equal_to_default": dg_vcf == base_vcf,
+            "n_dev_windows": dgstats.get("n_dev_windows"),
+            "n_dev_fallback": dgstats.get("n_dev_fallback"),
+            "device_share_of_wall": round(t_dev / dg_elapsed, 4),
+            "k_histogram": {str(k): v for k, v in
+                            dgstats.get("k_histogram", {}).items()},
+            "phases": {k: round(dgstats[k], 3) for k in
+                       ("t_dg_pack", "t_dg_build", "t_dg_ranks",
+                        "t_dg_assemble", "t_dg_finish")
+                       if k in dgstats},
+        }
+
     have_ref = ensure_ref_binary()
     ref = run_reference(region) if have_ref else None
     concordance = None
@@ -494,6 +526,7 @@ def main():
         "concordance": concordance,
         "breakdown": breakdown,
         "pallas_parity": parity,
+        "devgraph": devgraph,
         "hard": hard,
         "lr": lr,
     }))

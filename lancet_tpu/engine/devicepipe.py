@@ -112,14 +112,16 @@ def run_device_graph(tasks: list[WindowTask], cfg, stats: dict | None = None,
     align + finish them in task order. `mesh` shards the window batch
     axis of every pipeline step over a jax.sharding.Mesh.
 
-    W (window-batch width) is the device-throughput lever: every
-    sequential lockstep stage (cycle DFS, ordered removal sweeps, BFS
-    rounds) costs the same wall time per chunk regardless of W, so wide
-    chunks amortize it. Small runs (tests, dryrun) keep W=32 so their
-    executables stay cheap to compile; production-size runs use 128."""
+    W (window-batch width): measured on the tunneled v5e the per-chunk
+    cost is dominated by transfers and sorts, which scale ~linearly with
+    W, so W=32 wins (W=128 ran 25% slower on the same corpus) and keeps
+    executables cheap to compile."""
     _enable_compile_cache()
     if W is None:
-        W = 128 if len(tasks) > 48 else 32
+        # measured on the tunneled v5e: per-chunk cost is transfer- and
+        # sort-bound and scales ~linearly with W, so small chunks win
+        # (W=128 ran 25% slower than W=32 on the same corpus)
+        W = 32
     if mesh is not None:
         ndev = int(mesh.devices.size)
         W = max(ndev, W // ndev * ndev)  # shardable on the window axis
@@ -281,6 +283,8 @@ def _assemble(b, ranks, K, N, E, raw, cfg_s, dfs_limit, max_indel,
            max_mismatch, id(mesh) if mesh is not None else 0)
     fn = _ASSEMBLE_CACHE.get(key)
     if fn is None:
+        import jax.numpy as jnp
+
         from ..tpu import pipeline
 
         def impl(b, ranks, raw):
@@ -300,7 +304,7 @@ def _assemble(b, ranks, K, N, E, raw, cfg_s, dfs_limit, max_indel,
             out["asrc"] = res["ends"]["src_pos"]
             out["adist"] = res["ends"]["dist"]
             out["fallback"] = res["fallback"] | jobs["fallback"]
-            out["refcov"] = b["refcov"]
+            out["refcov"] = b["refcov"].astype(jnp.int16)  # cov <= R
             return out
 
         if mesh is not None:

@@ -108,17 +108,16 @@ class ShardRunResult:
 
 
 def device_graph_enabled() -> bool:
-    """Device graph engine switch: on for TPU backends, overridable via
-    LANCET_TPU_DEVGRAPH=0/1 (CPU runs pay XLA compiles on first use)."""
-    v = os.environ.get("LANCET_TPU_DEVGRAPH")
-    if v is not None:
-        return v != "0"
-    try:
-        import jax
+    """Device graph engine switch (LANCET_TPU_DEVGRAPH=1/0).
 
-        return jax.default_backend() == "tpu"
-    except Exception:
-        return False
+    Default OFF: on a single chip behind a host link the measured
+    crossover favors the native plane + device DP/gates (the device
+    graph path is transfer- and sort-bound per chunk — see DESIGN.md
+    'Measured crossover'). The device graph engine is the scale-out
+    path: dryrun_multichip and the mesh tests run it sharded over the
+    window axis, and bench.py measures BOTH configurations every run."""
+    v = os.environ.get("LANCET_TPU_DEVGRAPH")
+    return v is not None and v != "0"
 
 
 def run_shards_device(cfg, windows, tumor, normal,

@@ -591,8 +591,10 @@ def materialize_jobs(st, b, paths, res, K, N, NI, Cmax, raw, max_mismatch,
 
     is_rep = _is_almost_repeat_paths(pathseq, Lp, K, max_mismatch, LP)
 
+    # cov counts are bounded by the read cap (R <= 768), so int16
+    # halves the largest D2H payloads (the tunnel moves ~25 MB/s)
     return dict(pathseq=pathseq.astype(jnp.int8), lp=Lp,
-                covT=covT.astype(jnp.int32), covN=covN.astype(jnp.int32),
+                covT=covT.astype(jnp.int16), covN=covN.astype(jnp.int16),
                 span=span, needs_dp=needs_dp, is_rep=is_rep,
                 trim5=trim5, src_pos=src_pos, dist=dist,
                 n_sel=paths["n_sel"], sel_comp=comp_j,
