@@ -96,7 +96,6 @@ def build_hard_corpus():
     marker = os.path.join(HARD_DIR, "ok")
     if os.path.exists(marker):
         return
-    rng = random.Random(777)
     base = list(make_reference(HARD_CHROM_LEN, seed=555))
     half = HARD_SPACING // 2
     other = {"A": "C", "C": "G", "G": "T", "T": "A"}
@@ -450,7 +449,21 @@ def main():
         elif os.path.exists(HARD_ANCHOR_FILE):
             h_anchor = float(open(HARD_ANCHOR_FILE).read())
             h_state = "stale"
+        # per-k histogram: the native plane doesn't export per-window
+        # success k, but every emitted record carries KMERSIZE — the k
+        # that won that window's retry loop (devgraph runs also feed
+        # stats["k_histogram"] per window; merged here)
         khist = {str(k): v for k, v in hstats.get("k_histogram", {}).items()}
+        if not khist:
+            import re as _re
+
+            for line in h_vcf.splitlines():
+                if line.startswith("#"):
+                    continue
+                m = _re.search(r"KMERSIZE=(\d+)", line)
+                if m:
+                    khist[m.group(1)] = khist.get(m.group(1), 0) + 1
+            khist = dict(sorted(khist.items(), key=lambda kv: int(kv[0])))
         n_done = sum(khist.values()) or 1
         hard = {
             "windows": nwin_h,

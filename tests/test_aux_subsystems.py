@@ -130,5 +130,8 @@ def test_died_worker_windows_reenqueued(tmp_path, monkeypatch):
     stats = {}
     v_dead = run(cfg, command_line="x", date="D\n", engine="tpu",
                  processes=True, stats=stats)
-    assert stats.get("n_dead_workers") == 1, "kill hook never fired"
+    # a killed worker can break the whole pool (BrokenProcessPool makes
+    # every pending future raise), so under load BOTH shards may count
+    # as dead and get re-enqueued — >= 1 is the invariant
+    assert stats.get("n_dead_workers", 0) >= 1, "kill hook never fired"
     assert v_dead == v_ok
