@@ -44,3 +44,67 @@ def test_devgraph_matches_native(tmp_path, name, monkeypatch):
     if name == "paired_overlap":
         # mate-overlap candidates must route through the native replay
         assert stats.get("n_dev_fallback", 0) > 0
+
+
+@pytest.mark.skipif(not _native_available(), reason="no native toolchain")
+def test_devgraph_adversarial_windows(tmp_path, monkeypatch):
+    """Hard-corpus-style content (STR runs, near-repeat duplications,
+    homopolymers, dense het SNVs): exercises the cycle screen's flagged
+    lanes, deep k-retries, and the >k-cap native fallback, asserting the
+    device path stays VCF-identical to the native plane."""
+    import random
+
+    from tests.goldengen import hap_reads
+    from tests.helpers import make_reference
+
+    rng = random.Random(4242)
+    other = {"A": "C", "C": "G", "G": "T", "T": "A"}
+    base = list(make_reference(12_000, seed=77))
+    centers = list(range(1000, 11_000, 2000))
+    for idx, c in enumerate(centers):
+        fam = idx % 5
+        if fam == 0:  # STR
+            base[c - 60 : c - 60 + 36] = "AC" * 18
+            base[c + 20 : c + 20 + 30] = "AGC" * 10
+        elif fam == 1:  # near-repeat 24bp dup, 1 mismatch
+            seg = list(base[c - 30 : c - 6])
+            seg[11] = other[seg[11]]
+            base[c + 30 : c + 54] = seg
+        elif fam == 2:  # homopolymer
+            base[c - 40 : c - 16] = "A" * 24
+    refseq = "".join(base)
+    tumor, normal = [], []
+    for idx, c in enumerate(centers):
+        fam = idx % 5
+        if fam == 0:
+            edit = ("i", c + 21, "AGC")
+        elif fam == 2:
+            edit = ("d", c - 30, 1)
+        else:
+            edit = ("s", c, other[refseq[c]])
+        tumor += hap_reads(refseq, edit, c - 700, c + 700, 100, 5,
+                           f"t{idx}_", 0.5, 100 + idx)
+        normal += hap_reads(refseq, None, c - 700, c + 700, 100, 5,
+                            f"n{idx}_", 0, 200 + idx)
+        if fam == 3:  # dense germline hets -> bubbles at every k
+            for j, off in enumerate((-90, -33, 54)):
+                e = ("s", c + off, other[refseq[c + off]])
+                tumor += hap_reads(refseq, e, c + off - 140, c + off + 140,
+                                   100, 11, f"tx{idx}_{j}_", 0.5, 300 + j)
+                normal += hap_reads(refseq, e, c + off - 140, c + off + 140,
+                                    100, 11, f"nx{idx}_{j}_", 0.5, 400 + j)
+    ref_path, t_path, n_path = write_pair(str(tmp_path), refseq, "chr1",
+                                          tumor, normal)
+    cfg = Config(tumor_bam=t_path, normal_bam=n_path, ref_fasta=ref_path,
+                 region="chr1:400-11600", num_threads=2)
+    monkeypatch.setenv("LANCET_TPU_DEVGRAPH", "1")
+    stats: dict = {}
+    v_dev = run(cfg, command_line="x", date="D\n", engine="tpu",
+                stats=stats)
+    monkeypatch.setenv("LANCET_TPU_DEVGRAPH", "0")
+    v_nat = run(cfg, command_line="x", date="D\n", engine="tpu")
+    assert v_dev == v_nat
+    assert stats.get("n_dev_windows", 0) > 0
+    # the adversarial families must actually push the k ladder
+    khist = stats.get("k_histogram", {})
+    assert any(int(k) > 11 for k in khist), khist
