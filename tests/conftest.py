@@ -15,3 +15,16 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_between_modules():
+    """Full-suite runs accumulate dozens of multi-MB CPU executables in
+    the in-process jit caches (they are never evicted); past ~70 tests
+    the XLA:CPU runtime intermittently aborts loading the next one.
+    Dropping the caches at module boundaries keeps the process lean —
+    recompiles are served from the persistent on-disk cache."""
+    yield
+    jax.clear_caches()
