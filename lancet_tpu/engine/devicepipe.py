@@ -4,7 +4,7 @@ assembly pipeline (tpu.dbg + tpu.pipeline) and assembles PathJobs.
 Replaces the native C++ k-loop for the common case — the colored-DBG
 build, cleanup, and path cover run on the device as fixed-shape batched
 kernels (SURVEY.md §7); windows that exceed the shape caps or hit the
-reference's irregular corners (mate-overlap dedup, k > 31, compress
+reference's irregular corners (mate-overlap dedup, k > 63, compress
 loop-backs, map-rehash hazards) fall back to the native engine, which
 replays them exactly.
 
@@ -38,8 +38,24 @@ def _enable_compile_cache():
     import jax
 
     try:
-        d = os.environ.get("LANCET_TPU_JAX_CACHE",
-                           os.path.expanduser("~/.cache/lancet_tpu_xla"))
+        d = os.environ.get("LANCET_TPU_JAX_CACHE")
+        if not d:
+            # XLA:CPU AOT (de)serialization is machine-feature sensitive:
+            # a cache dir written on a different host makes loads warn
+            # and writes intermittently SEGFAULT (put_executable_and_time),
+            # so the default dir is fingerprinted by the host's CPU flags.
+            import hashlib
+
+            tag = "tpu"
+            if jax.default_backend() != "tpu":
+                try:
+                    with open("/proc/cpuinfo") as f:
+                        flags = next((l for l in f
+                                      if l.startswith("flags")), "")
+                    tag = hashlib.sha1(flags.encode()).hexdigest()[:10]
+                except OSError:
+                    return
+            d = os.path.expanduser(f"~/.cache/lancet_tpu_xla-{tag}")
         os.makedirs(d, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", d)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -65,14 +81,19 @@ class WindowTask:
     fallback: bool = False
     jobs: list | None = None  # emitted PathJobs (in order)
     k_done: int = 0
+    min_bucket: int = 0  # shape-bucket floor (raised by cap promotion)
 
     def __post_init__(self):
         self.seq_len = len(self.rawseq)
         self.jobs = []
 
 
-# shape buckets: (R, L, N, E). Lraw/W fixed per run.
+# shape buckets: (R, L, N, E). Lraw/W fixed per run. The first bucket
+# carries the common case (low-coverage windows) with a ~3x smaller
+# sort/segment problem; cap overflows promote to the next bucket at the
+# same k (run_device_graph) instead of falling back to the native plane.
 _BUCKETS = (
+    (48, 160, 1024, 2560),
     (192, 160, 1536, 3840),
     (768, 160, 4096, 10240),
 )
@@ -112,10 +133,17 @@ def run_device_graph(tasks: list[WindowTask], cfg, stats: dict | None = None,
     align + finish them in task order. `mesh` shards the window batch
     axis of every pipeline step over a jax.sharding.Mesh.
 
-    W (window-batch width): measured on the tunneled v5e the per-chunk
-    cost is dominated by transfers and sorts, which scale ~linearly with
-    W, so W=32 wins (W=128 ran 25% slower on the same corpus) and keeps
-    executables cheap to compile."""
+    Structure (one k at a time, the reference's retry ladder,
+    Microassembler.cc:109-235):
+    - windows are grouped into shape buckets by read count; a window
+      that overflows its bucket's node/edge caps is PROMOTED to the next
+      bucket and re-attempted at the same k (only semantic corners --
+      mate-overlap candidates, map-rehash hazards, fixed-cap overflows --
+      replay natively);
+    - chunks are depth-1 pipelined: chunk i+1's build is dispatched
+      before chunk i's host work (rank round trip, job finish) runs, so
+      the device computes while the host packs/finishes (the overlap
+      lesson of run_shards, shardrun.py)."""
     _enable_compile_cache()
     if W is None:
         # measured on the tunneled v5e: per-chunk cost is transfer- and
@@ -125,24 +153,24 @@ def run_device_graph(tasks: list[WindowTask], cfg, stats: dict | None = None,
     if mesh is not None:
         ndev = int(mesh.devices.size)
         W = max(ndev, W // ndev * ndev)  # shardable on the window axis
-    import jax.numpy as jnp
-
-    from ..tpu import pipeline
-    from ..tpu.dbg import build_k
-    from ..tpu.pack import WindowBatch, map_ranks, pack_window, unpack_mers
     from ..tpu.repeats import repeat_gates
 
-    max_k_dev = min(cfg.max_k, 31)
-    ks = [k for k in range(cfg.min_k, cfg.max_k + 1, 2) if k <= 31]
+    # device k ladder: multi-word packed mers carry k <= 63 (4x uint32
+    # words; the native rank kernel's 128-bit limit). The reference
+    # ladder tops at 101 (Lancet.hh:52-73); windows still cycling past
+    # 63 replay natively (and on the hard corpus none succeed below 101
+    # that need k > 63 -- BENCH k_histogram tops at 41).
+    ks = [k for k in range(cfg.min_k, cfg.max_k + 1, 2) if k <= 63]
 
-    # host-side shape screening
-    buckets: dict[int, list[WindowTask]] = {}
+    # host-side shape screening: initial bucket floor per task
+    pending: list[WindowTask] = []
     for t in tasks:
         bi = _bucket_for(t, Lraw)
         if bi is None:
             t.fallback = True
         else:
-            buckets.setdefault(bi, []).append(t)
+            t.min_bucket = bi
+            pending.append(t)
 
     import os as _os
     import sys as _sys
@@ -150,56 +178,56 @@ def run_device_graph(tasks: list[WindowTask], cfg, stats: dict | None = None,
     progress = bool(_os.environ.get("LANCET_TPU_PROGRESS"))
 
     n_attempts = 0
-    for bi, group in sorted(buckets.items()):
-        R, L, N, E = _BUCKETS[bi]
-        pending = list(group)
-        for K in ks:
-            if not pending:
-                break
-            if progress:
-                print(f"[devgraph] bucket {bi} k={K} pending={len(pending)}"
-                      f" t={_time.strftime('%H:%M:%S')}",
-                      file=_sys.stderr, flush=True)
-            # reference-repeat gate for this k, batched on device
-            # (Microassembler.cc:118-131): gated windows skip to next k
-            gates = np.asarray(repeat_gates(
-                [t.rawseq for t in pending], [K], cfg.max_mismatch))[:, 0]
-            attempt = [t for t, g in zip(pending, gates) if not g]
-            skipped = [t for t, g in zip(pending, gates) if g]
-            next_pending = list(skipped)
-            for lo in range(0, len(attempt), W):
-                chunk = attempt[lo : lo + W]
-                n_attempts += 1
-                fb, retry = _run_chunk(chunk, cfg, K, W, R, L, N, E, Lraw,
-                                       mesh, stats)
-                next_pending.extend(retry)
-            pending = next_pending
-        for t in pending:
-            t.fallback = True
+    for K in ks:
+        if not pending:
+            break
+        if progress:
+            print(f"[devgraph] k={K} pending={len(pending)}"
+                  f" t={_time.strftime('%H:%M:%S')}",
+                  file=_sys.stderr, flush=True)
+        # reference-repeat gate for this k, batched on device
+        # (Microassembler.cc:118-131): gated windows skip to next k
+        gates = np.asarray(repeat_gates(
+            [t.rawseq for t in pending], [K], cfg.max_mismatch))[:, 0]
+        attempt = [t for t, g in zip(pending, gates) if not g]
+        next_pending = [t for t, g in zip(pending, gates) if g]
+        while attempt:  # promotion rounds (bounded by len(_BUCKETS))
+            groups: dict[int, list] = {}
+            for t in attempt:
+                groups.setdefault(t.min_bucket, []).append(t)
+            promoted: list[WindowTask] = []
+            inflight = None
+            for bi, grp in sorted(groups.items()):
+                for lo in range(0, len(grp), W):
+                    chunk = grp[lo : lo + W]
+                    n_attempts += 1
+                    st = _dispatch_chunk(chunk, cfg, K, W, bi, Lraw,
+                                         mesh, stats)
+                    if inflight is not None:
+                        _complete_chunk(inflight, cfg, K, mesh, stats,
+                                        promoted, next_pending)
+                    inflight = st
+            if inflight is not None:
+                _complete_chunk(inflight, cfg, K, mesh, stats,
+                                promoted, next_pending)
+            attempt = promoted
+        pending = next_pending
+    for t in pending:
+        t.fallback = True  # ran out of device ks (k > 63): native ladder
     if stats is not None:
         stats["n_dev_attempts"] = stats.get("n_dev_attempts", 0) \
             + n_attempts
 
 
-def _run_chunk(chunk, cfg, K, W, R, L, N, E, Lraw, mesh, stats=None):
-    """One build+assemble attempt for <= W windows at k=K. Returns
-    (fallback_tasks, retry_tasks); jobs are appended to tasks that
-    succeed or abort after emitting earlier components."""
+def _dispatch_chunk(chunk, cfg, K, W, bi, Lraw, mesh, stats=None):
+    """Pack one chunk and dispatch its (async) build. Returns the
+    in-flight state consumed by _complete_chunk."""
     import time as _time
 
-    import jax
-    import jax.numpy as jnp
-
-    from ..tpu import pipeline
     from ..tpu.dbg import build_k
-    from ..tpu.pack import WindowBatch, map_ranks, pack_window, unpack_mers
+    from ..tpu.pack import WindowBatch, pack_window
 
-    def mark(key, t0):
-        t1 = _time.perf_counter()
-        if stats is not None:
-            stats[key] = stats.get(key, 0.0) + (t1 - t0)
-        return t1
-
+    R, L, N, E = _BUCKETS[bi]
     t0 = _time.perf_counter()
     batch = WindowBatch(W, R, L, Lraw)
     for w, t in enumerate(chunk):
@@ -208,46 +236,61 @@ def _run_chunk(chunk, cfg, K, W, R, L, N, E, Lraw, mesh, stats=None):
     for w, t in enumerate(chunk):
         if batch.overflow[w]:
             batch.window_ok[w] = False
-    t0 = mark("t_dg_pack", t0)
 
-    # under a mesh, commit the batch inputs sharded on the window axis so
-    # the build executable itself is partitioned (GSPMD propagates the
-    # sharding; each device builds its window shard's graph)
-    def dev(x):
-        if mesh is None:
-            return x
-        from jax.sharding import NamedSharding, PartitionSpec
+    # under a mesh, the build is shard_mapped on the window axis (each
+    # device builds its window shard's graphs; no collectives -- see
+    # parallel.mesh deadlock discipline)
+    arrs = (batch.bases, batch.quals, batch.rlen, batch.rsample,
+            batch.rstrand, batch.rfrag, batch.rorder, batch.raw,
+            batch.rawlen, batch.seq_off, batch.seq_len, batch.totalreadbp,
+            batch.window_ok)
+    if mesh is None:
+        b = build_k(
+            K, *arrs,
+            N=N, E=E, D=_D, Lraw=Lraw, min_qual_call=cfg.min_qual_call,
+            low_cov_threshold=cfg.low_cov_threshold,
+            min_cov_ratio=cfg.min_cov_ratio)
+    else:
+        from ..parallel.mesh import shard_build_k
 
-        return jax.device_put(x, NamedSharding(mesh, PartitionSpec("w")))
+        bfn = shard_build_k(mesh, K, (N, E, _D, Lraw, cfg.min_qual_call,
+                                      cfg.low_cov_threshold,
+                                      cfg.min_cov_ratio))
+        b = bfn(*arrs)
+    if stats is not None:
+        stats["t_dg_pack"] = stats.get("t_dg_pack", 0.0) \
+            + (_time.perf_counter() - t0)
+    return dict(chunk=chunk, batch=batch, b=b, bi=bi, W=W)
 
-    b = build_k(
-        K, dev(batch.bases), dev(batch.quals), dev(batch.rlen),
-        dev(batch.rsample), dev(batch.rstrand), dev(batch.rfrag),
-        dev(batch.rorder), dev(batch.raw), dev(batch.rawlen),
-        dev(batch.seq_off), dev(batch.seq_len), dev(batch.totalreadbp),
-        dev(batch.window_ok),
-        N=N, E=E, D=_D, Lraw=Lraw, min_qual_call=cfg.min_qual_call,
-        low_cov_threshold=cfg.low_cov_threshold,
-        min_cov_ratio=cfg.min_cov_ratio)
 
-    # host round trip: creation-order mer strings -> map-order ranks
-    mers_hi = np.asarray(b["mers_hi"])
-    mers_lo = np.asarray(b["mers_lo"])
+def _complete_chunk(st_if, cfg, K, mesh, stats, promoted, retry):
+    """Finish an in-flight chunk: rank round trip, assemble, classify.
+    Shape-cap overflows go to `promoted` (same k, next bucket); cycle/
+    repeat aborts go to `retry` (next k); semantic corners mark
+    .fallback for the native replay."""
+    import time as _time
+
+    import jax.numpy as jnp
+
+    chunk, batch, b = st_if["chunk"], st_if["batch"], st_if["b"]
+    bi, W = st_if["bi"], st_if["W"]
+    R, L, N, E = _BUCKETS[bi]
+
+    def mark(key, t0):
+        t1 = _time.perf_counter()
+        if stats is not None:
+            stats[key] = stats.get(key, 0.0) + (t1 - t0)
+        return t1
+
+    # host round trip: creation-order packed mers -> map-order ranks
+    t0 = _time.perf_counter()
+    mers_w = [np.asarray(x) for x in b["mers_w"]]
     n_nodes = np.asarray(b["n_nodes"])
+    b_fallback = np.asarray(b["fallback"])
+    mate_cand = np.asarray(b["mate_cand"])
     t0 = mark("t_dg_build", t0)  # build exec + D2H of the mer tables
-    ranks = np.full((W, N), 1 << 28, np.int32)
-    rank_bad = np.zeros(W, bool)
-    merslist: list[list[str]] = []
-    for w, t in enumerate(chunk):
-        nn = int(n_nodes[w])
-        mers = unpack_mers(mers_hi[w][:nn], mers_lo[w][:nn], K)
-        merslist.append(mers)
-        if not batch.window_ok[w]:
-            continue
-        r, slack = map_ranks(mers)
-        ranks[w, :nn] = r
-        if slack < 2 * _CMAX:  # fake-node inserts could trigger a rehash
-            rank_bad[w] = True
+    ranks, rank_bad = _map_ranks_batch(mers_w, n_nodes,
+                                       batch.window_ok, K, W, N)
     t0 = mark("t_dg_ranks", t0)
 
     out = _assemble(b, jnp.asarray(ranks), K, N, E,
@@ -257,17 +300,73 @@ def _run_chunk(chunk, cfg, K, W, R, L, N, E, Lraw, mesh, stats=None):
     res = {k: np.asarray(v) for k, v in out.items()}
     t0 = mark("t_dg_assemble", t0)
 
-    fallback_tasks, retry = [], []
+    # node/edge/degree cap overflow (not the mate-overlap corner): the
+    # next bucket's caps may fit -- promote instead of losing the window
+    # to the native plane
+    shape_over = b_fallback & ~mate_cand
+    last_bucket = bi + 1 >= len(_BUCKETS)
     for w, t in enumerate(chunk):
-        if not batch.window_ok[w] or rank_bad[w] or res["fallback"][w]:
+        if not batch.window_ok[w] or rank_bad[w] or mate_cand[w]:
             t.fallback = True
-            fallback_tasks.append(t)
             continue
-        _finish_window(t, w, res, merslist[w], K, cfg, Lraw)
+        if res["fallback"][w]:
+            if shape_over[w] and not last_bucket:
+                t.min_bucket = bi + 1
+                promoted.append(t)
+            else:
+                t.fallback = True
+            continue
+        _finish_window(t, w, res, K, cfg)
         if not t.done:
             retry.append(t)
     mark("t_dg_finish", t0)
-    return fallback_tasks, retry
+
+
+def _map_ranks_batch(mers_w, n_nodes, window_ok, K, W, N):
+    """Creation-order packed mers -> libstdc++ map-order ranks plus
+    rehash-headroom flags for the whole chunk in one native call (no
+    Python string materialization; lancet_native.cc lmo_ranks_batch).
+    Falls back to the pure-Python CppUnorderedMap emulation when the
+    toolchain is unavailable. A window whose slack cannot absorb the
+    fake source/sink inserts (Graph.cc:2156-2227) is flagged rank_bad
+    (iteration order could change via a rehash) and replays natively."""
+    ranks = np.full((W, N), 1 << 28, np.int32)
+    rank_bad = np.zeros(W, bool)
+    ok = np.asarray(window_ok, bool)
+    nn = np.where(ok, np.minimum(n_nodes, N), 0).astype(np.int64)
+    if not nn.any():
+        return ranks, rank_bad
+    mask = np.arange(N)[None, :] < nn[:, None]
+    offs = np.zeros(W + 1, np.int64)
+    np.cumsum(nn, out=offs[1:])
+    # assemble 64-bit halves from the little-endian uint32 words
+    def word(i):
+        return (mers_w[i].astype(np.uint64) if i < len(mers_w)
+                else np.uint64(0))
+
+    lo64 = word(0) | (word(1) << np.uint64(32))
+    hi64 = word(2) | (word(3) << np.uint64(32))
+    try:
+        from ..native import lmo_ranks_batch
+
+        flat_r, slack = lmo_ranks_batch(
+            np.broadcast_to(hi64, lo64.shape)[mask], lo64[mask], offs, K)
+        ranks[mask] = flat_r
+        rank_bad = ok & (nn > 0) & (slack < 2 * _CMAX)
+    except Exception:
+        from ..tpu.pack import map_ranks, unpack_mers_words
+
+        for w in range(W):
+            if not ok[w]:
+                continue
+            mers = unpack_mers_words(
+                np.broadcast_to(hi64, lo64.shape)[w][: nn[w]],
+                lo64[w][: nn[w]], K)
+            r, slack = map_ranks(mers)
+            ranks[w, : nn[w]] = r
+            if slack < 2 * _CMAX:
+                rank_bad[w] = True
+    return ranks, rank_bad
 
 
 _ASSEMBLE_CACHE: dict = {}
@@ -279,8 +378,10 @@ def _assemble(b, ranks, K, N, E, raw, cfg_s, dfs_limit, max_indel,
     One executable per (K, shapes, config scalars) — cached."""
     import jax
 
+    from ..parallel.mesh import mesh_key
+
     key = (K, N, E, tuple(sorted(cfg_s.items())), dfs_limit, max_indel,
-           max_mismatch, id(mesh) if mesh is not None else 0)
+           max_mismatch, mesh_key(mesh))
     fn = _ASSEMBLE_CACHE.get(key)
     if fn is None:
         import jax.numpy as jnp
@@ -317,7 +418,7 @@ def _assemble(b, ranks, K, N, E, raw, cfg_s, dfs_limit, max_indel,
     return fn(b, ranks, raw)
 
 
-def _finish_window(t: WindowTask, w: int, res, mers, K, cfg, Lraw):
+def _finish_window(t: WindowTask, w: int, res, K, cfg):
     """Replay the per-component abort logic and emit PathJobs."""
     numcomp = int(res["numcomp"][w])
     n_sel = int(res["n_sel"][w])

@@ -151,7 +151,8 @@ def run_shards_device(cfg, windows, tumor, normal,
         int(cfg.active_regions), cfg.filters.min_alt_cnt_tumor,
         cfg.low_cov_threshold, cfg.max_tip_len, cfg.dfs_limit,
         cfg.max_indel_len, cfg.max_mismatch, cfg.max_unit_len,
-        cfg.min_report_units, cfg.min_report_len, cfg.dist_from_str],
+        cfg.min_report_units, cfg.min_report_len, cfg.dist_from_str,
+        int(cfg.lr_mode)],
         np.int64)
     dcfg = np.array([cfg.min_cov_ratio, float(cfg.cov_threshold)],
                     np.float64)
@@ -416,33 +417,43 @@ def run_shards_device(cfg, windows, tumor, normal,
                           reads_n, tot_jobs, tot_dp)
 
 
-def _parse_varbuf(buf: bytes, windows, map_win, variants_by_window) -> None:
-    """Unpack the packed Var wire format into Variant objects."""
+def _parse_varbuf(buf: bytes, windows, map_win, variants_by_window,
+                  lr_mode: bool = False) -> None:
+    """Unpack the packed Var wire format (v1: 128-byte header with HP
+    triples + BX set lengths; lancet_native.cc pack_vars) into Variant
+    objects."""
     from .variant import Variant
 
-    zero3 = (0, 0, 0)
     off = 0
     nv = len(buf)
     while off < nv:
-        (win, pos, code, prev_ref, prev_alt, _pad, kmer, l_ref, l_alt,
+        (win, pos, code, prev_ref, prev_alt, _ver, kmer, l_ref, l_alt,
          l_str) = struct.unpack_from("<iqBBBBiiii", buf, off)
         cov = struct.unpack_from("<8i", buf, off + 32)
-        off += 64
+        hp = struct.unpack_from("<12i", buf, off + 64)
+        bl = struct.unpack_from("<4i", buf, off + 112)
+        off += 128
         ref = buf[off : off + l_ref].decode("latin-1")
         off += l_ref
         alt = buf[off : off + l_alt].decode("latin-1")
         off += l_alt
         str_tag = buf[off : off + l_str].decode("latin-1")
         off += l_str
+        bxs = []
+        for q in range(4):
+            bxs.append(buf[off : off + bl[q]].decode("latin-1"))
+            off += bl[q]
         gwin = map_win(win)
         v = Variant(
-            lr_mode=False, chrom=windows[gwin].chrom, pos=pos,
+            lr_mode=lr_mode, chrom=windows[gwin].chrom, pos=pos,
             ref_str=ref, alt_str=alt,
             rcn=(cov[0], cov[1]), rct=(cov[2], cov[3]),
             acn=(cov[4], cov[5]), act=(cov[6], cov[7]),
-            hprn=zero3, hprt=zero3, hpan=zero3, hpat=zero3,
+            hprn=hp[0:3], hprt=hp[3:6], hpan=hp[6:9], hpat=hp[9:12],
             prev_bp_ref=chr(prev_ref), prev_bp_alt=chr(prev_alt),
-            kmer=kmer, str_tag=str_tag, code=chr(code))
+            kmer=kmer, str_tag=str_tag, code=chr(code),
+            bx_ref_n=bxs[0], bx_ref_t=bxs[1], bx_alt_n=bxs[2],
+            bx_alt_t=bxs[3])
         variants_by_window.setdefault(gwin, []).append(v)
 
 
@@ -516,7 +527,8 @@ def run_shards(cfg, windows, tumor, normal, stats: dict | None = None,
         int(cfg.active_regions), cfg.filters.min_alt_cnt_tumor,
         cfg.low_cov_threshold, cfg.max_tip_len, cfg.dfs_limit,
         cfg.max_indel_len, cfg.max_mismatch, cfg.max_unit_len,
-        cfg.min_report_units, cfg.min_report_len, cfg.dist_from_str],
+        cfg.min_report_units, cfg.min_report_len, cfg.dist_from_str,
+        int(cfg.lr_mode)],
         np.int64)
     dcfg = np.array([cfg.min_cov_ratio, float(cfg.cov_threshold)], np.float64)
 
@@ -660,28 +672,8 @@ def run_shards(cfg, windows, tumor, normal, stats: dict | None = None,
 
         nv = lib.lsr_varbuf_size(h)
         buf = ctypes.string_at(lib.lsr_varbuf(h), nv) if nv else b""
-        off = 0
-        while off < nv:
-            (win, pos, code, prev_ref, prev_alt, _pad, kmer, l_ref, l_alt,
-             l_str) = struct.unpack_from("<iqBBBBiiii", buf, off)
-            cov = struct.unpack_from("<8i", buf, off + 32)
-            off += 64
-            ref = buf[off : off + l_ref].decode("latin-1")
-            off += l_ref
-            alt = buf[off : off + l_alt].decode("latin-1")
-            off += l_alt
-            str_tag = buf[off : off + l_str].decode("latin-1")
-            off += l_str
-            gwin = idxs[win]
-            v = Variant(
-                lr_mode=False, chrom=windows[gwin].chrom, pos=pos,
-                ref_str=ref, alt_str=alt,
-                rcn=(cov[0], cov[1]), rct=(cov[2], cov[3]),
-                acn=(cov[4], cov[5]), act=(cov[6], cov[7]),
-                hprn=zero3, hprt=zero3, hpan=zero3, hpat=zero3,
-                prev_bp_ref=chr(prev_ref), prev_bp_alt=chr(prev_alt),
-                kmer=kmer, str_tag=str_tag, code=chr(code))
-            variants_by_window.setdefault(gwin, []).append(v)
+        _parse_varbuf(buf, windows, lambda wi: idxs[wi],
+                      variants_by_window, lr_mode=cfg.lr_mode)
 
         m = len(idxs)
         gflags = np.zeros(m, np.uint8)

@@ -304,3 +304,39 @@ class NativeFastaFile:
         s = ctypes.string_at(ptr, ln.value).decode("ascii")
         self._lib.lfa_free(ptr)
         return s
+
+
+def lmo_ranks_batch(hi, lo, offs, k):
+    """libstdc++ iteration-order ranks for packed mers, batched over
+    windows (lancet_native.cc lmo_ranks_batch). `hi`/`lo` are flat uint64
+    arrays (2-bit packed mers, MSB-first; k <= 63 fits `lo`), `offs` the
+    per-window [n_windows+1] int64 offsets. Returns (ranks int32 flat,
+    slack int64 per window) where slack = insert headroom before the next
+    rehash. Raises NativeUnavailable when the toolchain is missing."""
+    import numpy as np
+
+    lib = load_library()
+    if not hasattr(lib, "_lmo_set"):
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.lmo_ranks_batch.restype = None
+        lib.lmo_ranks_batch.argtypes = [
+            ctypes.c_int64, i64p, u64p, u64p, ctypes.c_int32, i32p, i64p]
+        lib._lmo_set = True
+    hi = np.ascontiguousarray(hi, np.uint64)
+    lo = np.ascontiguousarray(lo, np.uint64)
+    offs = np.ascontiguousarray(offs, np.int64)
+    nw = len(offs) - 1
+    ranks = np.zeros(max(1, hi.size), np.int32)
+    slack = np.zeros(max(1, nw), np.int64)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+
+    def p(a, t):
+        return a.ctypes.data_as(t) if a.size else ctypes.cast(None, t)
+
+    lib.lmo_ranks_batch(nw, p(offs, i64p), p(hi, u64p), p(lo, u64p), k,
+                        p(ranks, i32p), p(slack, i64p))
+    return ranks[: hi.size], slack[:nw]

@@ -605,6 +605,13 @@ struct Out {
   int32_t* esrc = nullptr;      // surviving edges, event-time order
   int32_t* edst = nullptr;
   uint8_t* edir = nullptr;      // 0=FF 1=FR 2=RF 3=RR
+  // LR (linked-read) mode extras (ref: Microassembler.cc:582-593,
+  // Node.cc:470-520, Graph.cc LR blocks). Null unless lr_mode.
+  int32_t* lr_cov = nullptr;    // 4*n_nodes assigned bx counts tf,tr,nf,nr
+  int32_t* lr_hp = nullptr;     // 6*n_nodes assigned hp t0,t1,t2,n0,n1,n2
+  int32_t* lr_hpq = nullptr;    // 6*n_nodes*K per-base hp minqv counts
+  uint8_t* lr_hpseen = nullptr; // bit0: tumor visited non-skip, bit1: normal
+  std::vector<std::vector<int32_t>> bx_ids_t, bx_ids_n;  // per-node bx ids
 };
 
 constexpr uint8_t F_TUMOR = 1, F_NORMAL = 2, F_INREF = 4, F_LOW = 8,
@@ -785,17 +792,19 @@ inline Scratch& scratch() {
 
 }  // namespace lgb
 
-extern "C" {
-
 // Build the window's colored DBG arrays. See Out for the result layout.
 // sample: TMR=4 NML=5 (REF pseudo-read = 3); strand: FWD=1 REV=2.
-void* lgb_build(const uint8_t* cat, const uint8_t* qcat, int64_t tot,
-                int64_t n_reads, const int64_t* starts, const int32_t* lens,
-                const int32_t* sample, const int32_t* strand,
-                const int32_t* order, const int64_t* name_off,
-                const uint8_t* name_blob, int K, int minq, double avgcov,
-                int low_cov_threshold, double min_cov_ratio,
-                const uint8_t* refseq, int64_t reflen) {
+// bx/hp: per-read BX barcode id (-1 = null) and HP haplotype (0..2);
+// both null unless lr_mode (ref: Microassembler.cc:582-593).
+static void* lgb_build_impl(
+    const uint8_t* cat, const uint8_t* qcat, int64_t tot,
+    int64_t n_reads, const int64_t* starts, const int32_t* lens,
+    const int32_t* sample, const int32_t* strand,
+    const int32_t* order, const int64_t* name_off,
+    const uint8_t* name_blob, int K, int minq, double avgcov,
+    int low_cov_threshold, double min_cov_ratio,
+    const uint8_t* refseq, int64_t reflen,
+    const int32_t* bx, const int32_t* hp, int lr_mode) {
   auto* out = new lgb::Out();
   uint8_t comp[256];
   lgb::comp_table(comp);
@@ -1039,6 +1048,77 @@ void* lgb_build(const uint8_t* cat, const uint8_t* qcat, int64_t tot,
     for (int j = 0; j < K; ++j) row[j] += c;
   }
 
+  // --- LR (linked-read) pass: replay of the oracle's per-visit BX/HP
+  // bookkeeping (graph.py load_sequence LR blocks; ref Graph.cc LR,
+  // Node.cc:470-520). A separate pass over the same visit stream keeps
+  // the hot non-LR loop untouched: bx/hp adds run for EVERY visit (the
+  // mate-overlap dedup guard only gates the cov-distr assignments), and
+  // the assigned values are whatever the counts were at the last
+  // NON-skipped visit -- order matters, so this is a replay, not a
+  // post-hoc aggregate.
+  if (lr_mode && bx != nullptr && hp != nullptr) {
+    out->lr_cov = (int32_t*)std::calloc((size_t)n_nodes * 4, 4);
+    out->lr_hp = (int32_t*)std::calloc((size_t)n_nodes * 6, 4);
+    out->lr_hpq = (int32_t*)std::calloc((size_t)n_nodes * 6 * K, 4);
+    out->lr_hpseen = (uint8_t*)std::calloc((size_t)n_nodes, 1);
+    out->bx_ids_t.assign((size_t)n_nodes, {});
+    out->bx_ids_n.assign((size_t)n_nodes, {});
+    // per-node transient state: first-seen-strand bx counts + hp counts
+    // + last-assigned hp snapshot (for the compare-and-set hpq update)
+    std::vector<int32_t> cnt((size_t)n_nodes * 4, 0);
+    std::vector<int32_t> hpcnt((size_t)n_nodes * 6, 0);
+    std::vector<int32_t> asg_hp((size_t)n_nodes * 6, 0);
+    for (int64_t i = 0; i < n_mers; ++i) {
+      const int32_t r = vread[i];
+      const int32_t sm = sample[r];
+      if (sm == 3) continue;  // ref pseudo-read: bx null, hp no-op
+      const int sIdx = (sm == 4) ? 0 : 1;
+      const int st = (strand[r] == 1) ? 0 : 1;
+      const int64_t n = nid[i];
+      const int32_t b = bx[r];
+      const int h3 = hp[r] >= 0 && hp[r] <= 2 ? hp[r] : 0;
+      // node.has_bx(bx, sample): null bx is never in the sets
+      auto& ids = (sIdx == 0) ? out->bx_ids_t[n] : out->bx_ids_n[n];
+      bool have = false;
+      if (b >= 0)
+        for (int32_t x : ids)
+          if (x == b) { have = true; break; }
+      if (!have) {
+        if (b >= 0) {
+          ids.push_back(b);
+          cnt[n * 4 + sIdx * 2 + st] += 1;  // first-seen strand
+        }
+        // add_hp runs whenever has_bx() is false -- including null bx,
+        // so null-bx reads bump hp counts on every visit (oracle quirk)
+        hpcnt[n * 6 + sIdx * 3 + h3] += 1;
+      }
+      if (skip[i]) continue;  // mate-overlap dedup: no assignment
+      // update_cov_distr(bx_cnt, qv, strand, sample): row assignment of
+      // the visited strand's column
+      out->lr_cov[n * 4 + sIdx * 2 + st] = cnt[n * 4 + sIdx * 2 + st];
+      out->lr_hpseen[n] |= (uint8_t)(1 << sIdx);
+      // update_hp_cov_distr: per-base minqv increments where the stored
+      // (last-assigned) hp count is below the current one, then assign
+      const int64_t o = starts[r] + vpos[i];
+      for (int h2 = 0; h2 < 3; ++h2) {
+        const int64_t sl = (int64_t)sIdx * 3 + h2;
+        const int32_t cur = hpcnt[n * 6 + sl];
+        if (asg_hp[n * 6 + sl] < cur) {
+          int32_t* rowq = out->lr_hpq + (sl * n_nodes + n) * K;
+          if (orif[i]) {
+            const uint8_t* q = qcat + o;
+            for (int j2 = 0; j2 < K; ++j2) rowq[j2] += (q[j2] >= minq);
+          } else {
+            const uint8_t* q = qcat + o + K - 1;
+            for (int j2 = 0; j2 < K; ++j2) rowq[j2] += (q[-j2] >= minq);
+          }
+        }
+        asg_hp[n * 6 + sl] = cur;
+        out->lr_hp[n * 6 + sl] = cur;
+      }
+    }
+  }
+
   // reference-window mer membership (markRefNodes at k-mer stage): the
   // per-k index covers offsets [0, reflen-K) of the *trimmed* window seq
   // (final mer excluded, Ref.cc:51).
@@ -1115,6 +1195,22 @@ void* lgb_build(const uint8_t* cat, const uint8_t* qcat, int64_t tot,
   return out;
 }
 
+extern "C" {
+
+// Build the window's colored DBG arrays (non-LR entry; see Out).
+void* lgb_build(const uint8_t* cat, const uint8_t* qcat, int64_t tot,
+                int64_t n_reads, const int64_t* starts, const int32_t* lens,
+                const int32_t* sample, const int32_t* strand,
+                const int32_t* order, const int64_t* name_off,
+                const uint8_t* name_blob, int K, int minq, double avgcov,
+                int low_cov_threshold, double min_cov_ratio,
+                const uint8_t* refseq, int64_t reflen) {
+  return lgb_build_impl(cat, qcat, tot, n_reads, starts, lens, sample,
+                        strand, order, name_off, name_blob, K, minq, avgcov,
+                        low_cov_threshold, min_cov_ratio, refseq, reflen,
+                        nullptr, nullptr, 0);
+}
+
 int64_t lgb_n_nodes(void* h) { return ((lgb::Out*)h)->n_nodes; }
 int64_t lgb_n_edges(void* h) { return ((lgb::Out*)h)->n_edges; }
 const uint8_t* lgb_mers(void* h) { return ((lgb::Out*)h)->mers; }
@@ -1138,6 +1234,10 @@ void lgb_result_free(void* h) {
   std::free(o->esrc);
   std::free(o->edst);
   std::free(o->edir);
+  std::free(o->lr_cov);
+  std::free(o->lr_hp);
+  std::free(o->lr_hpq);
+  std::free(o->lr_hpseen);
   delete o;
 }
 
@@ -1277,6 +1377,11 @@ struct Timer {
 
 namespace lgp {
 
+// per-run coverage-row stride: 4 columns (fwd, rev, mqf, mqr) in normal
+// mode, 10 in LR mode (+ hp0..2, hp0..2_minqv; engine/node.py column
+// order). Thread-local: lsr worker threads run independent windows.
+inline thread_local int g_nc = 4;
+
 using Dir = uint8_t;               // node orientation: 0=F 1=R
 using EDir = uint8_t;              // edge dir: 0=FF 1=FR 2=RF 3=RR
 constexpr Dir F = 0, R = 1;
@@ -1344,15 +1449,16 @@ struct GN {
       }
     throw std::runtime_error("update_edge missing");
   }
-  void compute_min_cov() {  // over 4-col rows (node.py compute_min_cov)
-    const int64_t L = (int64_t)covT.size() / 4;
+  void compute_min_cov() {  // over rows (node.py compute_min_cov)
+    const int nc = g_nc;
+    const int64_t L = (int64_t)covT.size() / nc;
     if (L == 0) { mincov = mincov_qv = 10000000; return; }
     int32_t mc = INT32_MAX, mq = INT32_MAX;
     for (int64_t i = 0; i < L; ++i) {
-      const int32_t tot = covT[i * 4] + covT[i * 4 + 1] + covN[i * 4] +
-                          covN[i * 4 + 1];
-      const int32_t totq = covT[i * 4 + 2] + covT[i * 4 + 3] +
-                           covN[i * 4 + 2] + covN[i * 4 + 3];
+      const int32_t tot = covT[i * nc] + covT[i * nc + 1] + covN[i * nc] +
+                          covN[i * nc + 1];
+      const int32_t totq = covT[i * nc + 2] + covT[i * nc + 3] +
+                           covN[i * nc + 2] + covN[i * nc + 3];
       if (tot < mc) mc = tot;
       if (totq < mq) mq = totq;
     }
@@ -1379,13 +1485,25 @@ struct Job {
   uint8_t needs_dp = 0;
 };
 
+// LR-mode barcode tables, frozen at build time (graph.add_bx_table /
+// ref.add_bx; ref Microassembler.cc:582-593, VariantDB BX fields): per
+// canonical mer, the distinct bx ids per sample. `graph_*` covers every
+// visited mer; `ref_*` only mers in the per-k seq index.
+struct BxTables {
+  std::shared_ptr<std::vector<std::string>> names;  // bx id -> string
+  std::unordered_map<std::string, std::vector<int32_t>> graph_t, graph_n;
+  std::unordered_map<std::string, std::vector<int32_t>> ref_t, ref_n;
+};
+
 struct Result {
   int status = 0;  // 0 ok, 1 cycle, 2 repeat-in-path, 3 internal error
   int32_t trim5 = -1, trim3 = -1;
   int seq_set = 0;
   int64_t seq_off = 0, seq_len = 0;
-  std::vector<int32_t> refcov;  // 4*rawlen: t_fwd, t_rev, n_fwd, n_rev
+  int nc = 4;                   // coverage-row stride (10 in LR mode)
+  std::vector<int32_t> refcov;  // nc planes x rawlen (see lgp_run_impl)
   std::vector<Job> jobs;
+  std::shared_ptr<BxTables> bxtab;  // LR mode only
 };
 
 struct PPath {  // path.py Path
@@ -1414,8 +1532,8 @@ struct Graph {
     n->id = id;
     n->str = id;
     n->status.assign(id.size(), 'E');
-    n->covT.assign(id.size() * 4, 0);
-    n->covN.assign(id.size() * 4, 0);
+    n->covT.assign(id.size() * g_nc, 0);
+    n->covN.assign(id.size() * g_nc, 0);
     return n;
   }
   GN* get(const std::string& id) const {
@@ -1439,16 +1557,17 @@ struct Graph {
 };
 
 inline std::vector<int32_t> rev_rows(const std::vector<int32_t>& v) {
-  const int64_t L = (int64_t)v.size() / 4;
+  const int nc = g_nc;
+  const int64_t L = (int64_t)v.size() / nc;
   std::vector<int32_t> out(v.size());
   for (int64_t i = 0; i < L; ++i)
-    for (int c = 0; c < 4; ++c) out[i * 4 + c] = v[(L - 1 - i) * 4 + c];
+    for (int c = 0; c < nc; ++c) out[i * nc + c] = v[(L - 1 - i) * nc + c];
   return out;
 }
 
 inline std::vector<int32_t> rows_from(const std::vector<int32_t>& v,
                                       int64_t row) {
-  return std::vector<int32_t>(v.begin() + row * 4, v.end());
+  return std::vector<int32_t>(v.begin() + row * g_nc, v.end());
 }
 
 }  // namespace lgp
@@ -1709,14 +1828,16 @@ void compress_node(Graph& g, GN* node, Dir d) {
       std::memcpy(sstr.data(), lo_slice ? B.data() : B.data() + K - 1, seg);
     }
     auto slice_rows = [&](const std::vector<int32_t>& X) {
-      std::vector<int32_t> out((size_t)seg * 4);
+      const int nc = g_nc;
+      std::vector<int32_t> out((size_t)seg * nc);
       const int64_t row0 = lo_slice ? 0 : K - 1;
       if (rc_it) {
         for (int64_t i = 0; i < seg; ++i)
-          for (int c = 0; c < 4; ++c)
-            out[i * 4 + c] = X[(row0 + seg - 1 - i) * 4 + c];
+          for (int c = 0; c < nc; ++c)
+            out[i * nc + c] = X[(row0 + seg - 1 - i) * nc + c];
       } else {
-        std::memcpy(out.data(), X.data() + row0 * 4, (size_t)seg * 16);
+        std::memcpy(out.data(), X.data() + row0 * nc,
+                    (size_t)seg * nc * 4);
       }
       return out;
     };
@@ -2017,10 +2138,10 @@ std::vector<int32_t> path_cov(Graph& g, const PPath& p, bool tumor) {
     if (!n->is_special()) {
       if (total == 0) {
         out.insert(out.end(), nc.begin(), nc.end());
-        total = (int64_t)nc.size() / 4;
+        total = (int64_t)nc.size() / g_nc;
       } else {
-        out.insert(out.end(), nc.begin() + (g.K - 1) * 4, nc.end());
-        total += (int64_t)nc.size() / 4 - (g.K - 1);
+        out.insert(out.end(), nc.begin() + (g.K - 1) * g_nc, nc.end());
+        total += (int64_t)nc.size() / g_nc - (g.K - 1);
       }
     }
     if (i < p.edgedir.size()) d = ed_dest(p.edgedir[i]);
@@ -2059,7 +2180,7 @@ void eka(Graph& g, GN* source, GN* sink, Dir d, const uint8_t* rawseq,
     j.pathseq = path_str(g, *path);
     j.covT = path_cov(g, *path, true);
     j.covN = path_cov(g, *path, false);
-    j.span = tumor_span(g, *path, (int64_t)j.covN.size() / 4);
+    j.span = tumor_span(g, *path, (int64_t)j.covN.size() / g_nc);
     j.src_off = src_off;
     j.ref_dist = ref_dist;
     j.trim5 = trim5;
@@ -2102,31 +2223,34 @@ bool find_repeats_in_graph_paths(Graph& g, int K, int max_mismatch,
 
 }  // namespace lgp
 
-extern "C" {
-
-// Full per-k pipeline: colored-DBG build (via lgb_build) then components,
-// anchoring, cycle gate, compression, cleanup, graph-path repeat gate, and
-// the best-new-edge path cover. Returns a Result handle.
-void* lgp_run(const uint8_t* cat, const uint8_t* qcat, int64_t tot,
-              int64_t n_reads, const int64_t* starts, const int32_t* lens,
-              const int32_t* sample, const int32_t* strand,
-              const int32_t* order, const int64_t* name_off,
-              const uint8_t* name_blob, int K, int minq, double avgcov,
-              int low_cov_threshold, double min_cov_ratio,
-              const uint8_t* idxseq, int64_t idxlen, const uint8_t* rawseq,
-              int64_t rawlen, double cov_threshold, int max_tip_len,
-              int max_link_len, int64_t dfs_limit, int max_indel_len,
-              int max_mismatch, int max_unit_len, int min_report_units,
-              int min_report_len, int dist_from_str) {
+// Full per-k pipeline: colored-DBG build (via lgb_build_impl) then
+// components, anchoring, cycle gate, compression, cleanup, graph-path
+// repeat gate, and the best-new-edge path cover. Returns a Result handle.
+// bx/hp/lr_mode: see lgb_build_impl (LR mode; null for normal runs).
+void* lgp_run_impl(
+    const uint8_t* cat, const uint8_t* qcat, int64_t tot,
+    int64_t n_reads, const int64_t* starts, const int32_t* lens,
+    const int32_t* sample, const int32_t* strand,
+    const int32_t* order, const int64_t* name_off,
+    const uint8_t* name_blob, int K, int minq, double avgcov,
+    int low_cov_threshold, double min_cov_ratio,
+    const uint8_t* idxseq, int64_t idxlen, const uint8_t* rawseq,
+    int64_t rawlen, double cov_threshold, int max_tip_len,
+    int max_link_len, int64_t dfs_limit, int max_indel_len,
+    int max_mismatch, int max_unit_len, int min_report_units,
+    int min_report_len, int dist_from_str,
+    const int32_t* bx, const int32_t* hp, int lr_mode) {
   auto* res = new lgp::Result();
+  lgp::g_nc = lr_mode ? 10 : 4;
+  res->nc = lgp::g_nc;
   lgb::Out* out = nullptr;
   try {
     {
       lprof::Timer t(lprof::get().build);
-      out = (lgb::Out*)lgb_build(cat, qcat, tot, n_reads, starts, lens,
-                                 sample, strand, order, name_off, name_blob,
-                                 K, minq, avgcov, low_cov_threshold,
-                                 min_cov_ratio, idxseq, idxlen);
+      out = (lgb::Out*)lgb_build_impl(
+          cat, qcat, tot, n_reads, starts, lens, sample, strand, order,
+          name_off, name_blob, K, minq, avgcov, low_cov_threshold,
+          min_cov_ratio, idxseq, idxlen, bx, hp, lr_mode);
     }
     const int64_t n_nodes = out->n_nodes;
 
@@ -2134,7 +2258,12 @@ void* lgp_run(const uint8_t* cat, const uint8_t* qcat, int64_t tot,
     // node counts; nonzero only where the mer is in the seq-based index).
     // Probes the build's thread-local node table (same thread, still
     // valid) instead of constructing a fresh map over all nodes.
-    res->refcov.assign(4 * rawlen, 0);
+    // plane layout: [t_fwd, t_rev, n_fwd, n_rev] and, in LR mode, 6 more
+    // planes [t_hp0, t_hp1, t_hp2, n_hp0, n_hp1, n_hp2] (ref.py
+    // update_hp_coverage + compute_coverage; ref Ref.cc:173-250). LR cov
+    // planes carry the ASSIGNED bx counts (update_coverage with bx_cnt).
+    const int n_planes = lr_mode ? 10 : 4;
+    res->refcov.assign((size_t)n_planes * rawlen, 0);
     {
       lprof::Timer t(lprof::get().refcov);
       lgb::Scratch& scr = lgb::scratch();
@@ -2148,24 +2277,34 @@ void* lgp_run(const uint8_t* cat, const uint8_t* qcat, int64_t tot,
         const uint8_t* fw = rawseq + i;
         const uint8_t* rc = rc_raw.data() + (rawlen - i - K);
         const uint8_t* cn = std::memcmp(fw, rc, K) < 0 ? fw : rc;
-        int32_t vals[4] = {0, 0, 0, 0};
+        int32_t vals[10] = {0};
         const int32_t nlk = lgb::scratch_lookup(scr, cn, K,
                                                 lgb::scratch_hash(cn, K));
         if (nlk >= 0) {
           const int64_t n = nlk;
           const uint8_t fl = out->flags[n];
           if (fl & lgb::F_INREF) {
-            if (fl & lgb::F_SEENF_T) vals[0] = out->cov[n * 4 + 0];
-            if (fl & lgb::F_SEENR_T) vals[1] = out->cov[n * 4 + 1];
-            if (fl & lgb::F_SEENF_N) vals[2] = out->cov[n * 4 + 2];
-            if (fl & lgb::F_SEENR_N) vals[3] = out->cov[n * 4 + 3];
+            const int32_t* cv = lr_mode ? out->lr_cov : out->cov;
+            if (fl & lgb::F_SEENF_T) vals[0] = cv[n * 4 + 0];
+            if (fl & lgb::F_SEENR_T) vals[1] = cv[n * 4 + 1];
+            if (fl & lgb::F_SEENF_N) vals[2] = cv[n * 4 + 2];
+            if (fl & lgb::F_SEENR_N) vals[3] = cv[n * 4 + 3];
+            if (lr_mode) {
+              if (out->lr_hpseen[n] & 1)
+                for (int h2 = 0; h2 < 3; ++h2)
+                  vals[4 + h2] = out->lr_hp[n * 6 + h2];
+              if (out->lr_hpseen[n] & 2)
+                for (int h2 = 0; h2 < 3; ++h2)
+                  vals[7 + h2] = out->lr_hp[n * 6 + 3 + h2];
+            }
           }
         }
         if (i == 0) {
           for (int64_t p = 0; p < K && p < rawlen; ++p)
-            for (int c = 0; c < 4; ++c) res->refcov[c * rawlen + p] = vals[c];
+            for (int c = 0; c < n_planes; ++c)
+              res->refcov[c * rawlen + p] = vals[c];
         } else {
-          for (int c = 0; c < 4; ++c)
+          for (int c = 0; c < n_planes; ++c)
             res->refcov[c * rawlen + (i + K - 1)] = vals[c];
         }
       }
@@ -2194,22 +2333,40 @@ void* lgp_run(const uint8_t* cat, const uint8_t* qcat, int64_t tot,
       node->is_tumor = fl & lgb::F_TUMOR;
       node->is_normal = fl & lgb::F_NORMAL;
       node->touch_ref = fl & lgb::F_INREF;
-      node->mincov = out->tot_cov[n];
+      // in LR mode the per-base fwd/rev columns hold bx counts, so the
+      // row-derived mincov is bx-based (node.py compute_min_cov over the
+      // LR cov_distr); mincov_qv stays mq-based either way
+      node->mincov =
+          lr_mode ? (out->lr_cov[n * 4 + 0] + out->lr_cov[n * 4 + 1] +
+                     out->lr_cov[n * 4 + 2] + out->lr_cov[n * 4 + 3])
+                  : out->tot_cov[n];
       node->mincov_qv = out->mincov_qv[n];
       const char st = (node->is_tumor && node->is_normal) ? 'B'
                       : node->is_tumor                    ? 'T'
                       : node->is_normal                   ? 'N'
                                                           : 'E';
       node->status.assign(K, st);
+      const int nc2 = lgp::g_nc;
+      const int32_t* cvm = lr_mode ? out->lr_cov : out->cov;
       for (int64_t j = 0; j < K; ++j) {
-        node->covT[j * 4 + 0] = out->cov[n * 4 + 0];
-        node->covT[j * 4 + 1] = out->cov[n * 4 + 1];
-        node->covT[j * 4 + 2] = out->mq[(0 * n_nodes + n) * K + j];
-        node->covT[j * 4 + 3] = out->mq[(1 * n_nodes + n) * K + j];
-        node->covN[j * 4 + 0] = out->cov[n * 4 + 2];
-        node->covN[j * 4 + 1] = out->cov[n * 4 + 3];
-        node->covN[j * 4 + 2] = out->mq[(2 * n_nodes + n) * K + j];
-        node->covN[j * 4 + 3] = out->mq[(3 * n_nodes + n) * K + j];
+        node->covT[j * nc2 + 0] = cvm[n * 4 + 0];
+        node->covT[j * nc2 + 1] = cvm[n * 4 + 1];
+        node->covT[j * nc2 + 2] = out->mq[(0 * n_nodes + n) * K + j];
+        node->covT[j * nc2 + 3] = out->mq[(1 * n_nodes + n) * K + j];
+        node->covN[j * nc2 + 0] = cvm[n * 4 + 2];
+        node->covN[j * nc2 + 1] = cvm[n * 4 + 3];
+        node->covN[j * nc2 + 2] = out->mq[(2 * n_nodes + n) * K + j];
+        node->covN[j * nc2 + 3] = out->mq[(3 * n_nodes + n) * K + j];
+        if (lr_mode) {
+          for (int h2 = 0; h2 < 3; ++h2) {
+            node->covT[j * nc2 + 4 + h2] = out->lr_hp[n * 6 + h2];
+            node->covT[j * nc2 + 7 + h2] =
+                out->lr_hpq[((int64_t)h2 * n_nodes + n) * K + j];
+            node->covN[j * nc2 + 4 + h2] = out->lr_hp[n * 6 + 3 + h2];
+            node->covN[j * nc2 + 7 + h2] =
+                out->lr_hpq[((int64_t)(3 + h2) * n_nodes + n) * K + j];
+          }
+        }
       }
       g.nodes[mer] = node;
       by_id[n] = node;
@@ -2225,6 +2382,25 @@ void* lgp_run(const uint8_t* cat, const uint8_t* qcat, int64_t tot,
       src->edges.push_back(
           {std::string((const char*)out->mers + (int64_t)out->edst[e] * K, K),
            (lgp::EDir)out->edir[e], 0});
+    }
+    if (lr_mode) {
+      // freeze the per-mer barcode tables before cleanup/compression
+      // mutates the graph (graph.add_bx_table / ref.add_bx are
+      // build-time only; variant-time lookups key by original K-mers)
+      res->bxtab = std::make_shared<lgp::BxTables>();
+      for (int64_t n = 0; n < n_nodes; ++n) {
+        const bool inref = out->flags[n] & lgb::F_INREF;
+        if (!out->bx_ids_t[n].empty()) {
+          std::string mer((const char*)out->mers + n * K, K);
+          if (inref) res->bxtab->ref_t[mer] = out->bx_ids_t[n];
+          res->bxtab->graph_t[std::move(mer)] = out->bx_ids_t[n];
+        }
+        if (!out->bx_ids_n[n].empty()) {
+          std::string mer((const char*)out->mers + n * K, K);
+          if (inref) res->bxtab->ref_n[mer] = out->bx_ids_n[n];
+          res->bxtab->graph_n[std::move(mer)] = out->bx_ids_n[n];
+        }
+      }
     }
     lgb_result_free(out);
     out = nullptr;
@@ -2294,6 +2470,29 @@ void* lgp_run(const uint8_t* cat, const uint8_t* qcat, int64_t tot,
   }
 }
 
+extern "C" {
+
+// Non-LR entry (ctypes surface; see lgp_run_impl).
+void* lgp_run(const uint8_t* cat, const uint8_t* qcat, int64_t tot,
+              int64_t n_reads, const int64_t* starts, const int32_t* lens,
+              const int32_t* sample, const int32_t* strand,
+              const int32_t* order, const int64_t* name_off,
+              const uint8_t* name_blob, int K, int minq, double avgcov,
+              int low_cov_threshold, double min_cov_ratio,
+              const uint8_t* idxseq, int64_t idxlen, const uint8_t* rawseq,
+              int64_t rawlen, double cov_threshold, int max_tip_len,
+              int max_link_len, int64_t dfs_limit, int max_indel_len,
+              int max_mismatch, int max_unit_len, int min_report_units,
+              int min_report_len, int dist_from_str) {
+  return lgp_run_impl(cat, qcat, tot, n_reads, starts, lens, sample, strand,
+                      order, name_off, name_blob, K, minq, avgcov,
+                      low_cov_threshold, min_cov_ratio, idxseq, idxlen,
+                      rawseq, rawlen, cov_threshold, max_tip_len,
+                      max_link_len, dfs_limit, max_indel_len, max_mismatch,
+                      max_unit_len, min_report_units, min_report_len,
+                      dist_from_str, nullptr, nullptr, 0);
+}
+
 int lgp_status(void* h) { return ((lgp::Result*)h)->status; }
 int lgp_trim5(void* h) { return ((lgp::Result*)h)->trim5; }
 int lgp_trim3(void* h) { return ((lgp::Result*)h)->trim3; }
@@ -2357,6 +2556,7 @@ void lgp_free(void* h) { delete (lgp::Result*)h; }
 #include <atomic>
 #include <chrono>
 #include <mutex>
+#include <set>
 #include <thread>
 
 namespace lsr {
@@ -2602,6 +2802,7 @@ struct Cfg {
   int64_t dfs_limit;
   int max_indel_len, max_mismatch;
   int max_unit_len, min_report_units, min_report_len, dist_from_str;
+  int lr_mode = 0;  // linked-read mode (BX/HP payloads; icfg[20])
   std::vector<std::string> readgroups;  // empty vector => {"null"} semantics
 
   bool rg_ok(const std::string& rg) const {
@@ -2616,12 +2817,14 @@ struct SJob {
   int32_t win = 0;
   int32_t K = 0;
   std::string pathseq;
-  std::vector<int32_t> covT, covN;   // L*4
+  std::vector<int32_t> covT, covN;   // L*nc rows
   std::vector<uint8_t> span;         // L+1
   int64_t src_off = 0, ref_dist = 0;
   int32_t trim5 = -1;
   uint8_t needs_dp = 0;
-  std::shared_ptr<std::vector<int32_t>> refcov;  // 4*rawlen at emitting k
+  uint8_t nc = 4;                    // coverage-row stride (10 in LR)
+  std::shared_ptr<std::vector<int32_t>> refcov;  // nc planes x rawlen
+  std::shared_ptr<lgp::BxTables> bxtab;          // LR mode only
 };
 
 struct WinInfo {
@@ -2651,6 +2854,11 @@ struct Var {
   char prev_ref = 0, prev_alt = 0;
   int32_t kmer = 0;
   int32_t cov[8] = {0};       // rcnf rcnr rctf rctr acnf acnr actf actr
+  // LR extras (zero / empty outside LR mode): HP triples already in the
+  // Variant ctor's rotated order (hp1, hp2, hp0) for hprn/hprt/hpan/hpat,
+  // then the 4 BX set strings (ref_n, ref_t, alt_n, alt_t)
+  int32_t hp[12] = {0};
+  std::string bx[4];
   std::string ref, alt, str_tag;
 };
 
@@ -2677,6 +2885,8 @@ struct XRead {
   char code = 'M';             // M mapped, B bastard, R ref
   int32_t trm5 = 0, trm3 = 0;
   uint8_t junk = 0;
+  int32_t bx_id = -1;          // LR: interned BX barcode (-1 = null)
+  int32_t hp = 0;              // LR: HP haplotype tag (0..2)
 };
 
 // --- active-region triage (micro.is_active_region) -------------------------
@@ -2744,7 +2954,10 @@ bool is_active_region(const std::vector<const Rec*>& alns, const WinInfo& w,
 // Returns true when the window must be skipped (max avg coverage).
 bool extract_reads(const std::vector<const Rec*>& alns, const WinInfo& w,
                    bool is_tumor, const Cfg& cfg, std::vector<XRead>& reads,
-                   WinOut& out) {
+                   WinOut& out,
+                   std::vector<std::string>* bx_names = nullptr,
+                   std::unordered_map<std::string, int32_t>* bx_intern =
+                       nullptr) {
   const int mq = is_tumor ? cfg.min_map_qual : 0;
   const double min_delta = is_tumor ? (double)cfg.max_delta_as_xs : -1.0;
   int64_t totalreadbp = 0;
@@ -2784,6 +2997,18 @@ bool extract_reads(const std::vector<const Rec*>& alns, const WinInfo& w,
       r.strand = strand;
       r.mate = mate;
       r.code = al->is_mapped() ? 'M' : 'B';
+      if (cfg.lr_mode) {
+        // BX/HP capture (ref: Microassembler.cc:582-593)
+        std::string bxs = string_tag(*al, "BX");
+        if (!bxs.empty() && bx_intern != nullptr) {
+          auto ins = bx_intern->emplace(bxs, (int32_t)bx_names->size());
+          if (ins.second) bx_names->push_back(bxs);
+          r.bx_id = ins.first->second;
+        }
+        const double hv = numeric_tag(*al, "HP");
+        r.hp = (int32_t)hv;
+        if (r.hp < 0 || r.hp > 2) r.hp = 0;
+      }
       // quality trim (graph.trim; ref Graph.cc:355-384)
       const std::string& s = al->seq;
       const std::string& q = al->qual;
@@ -2823,7 +3048,9 @@ bool extract_reads(const std::vector<const Rec*>& alns, const WinInfo& w,
 // Returns false on internal error (window marked for python replay).
 bool process_graph(const WinInfo& w, const Cfg& cfg,
                    std::vector<XRead>& reads, const uint8_t* gate_row,
-                   int n_k, int win_idx, WinOut& out) {
+                   int n_k, int win_idx, WinOut& out,
+                   std::shared_ptr<std::vector<std::string>> bx_names =
+                       nullptr) {
   // count mapped
   int64_t mapped = 0;
   for (const auto& r : reads)
@@ -2867,7 +3094,7 @@ bool process_graph(const WinInfo& w, const Cfg& cfg,
     const int GAP = k + 1;
     int64_t totalreadbp = 0;
     std::vector<int64_t> starts;
-    std::vector<int32_t> lens, sample, strand, order;
+    std::vector<int32_t> lens, sample, strand, order, bxv, hpv;
     std::vector<const XRead*> used;
     int64_t tot = 0;
     for (const auto& r : reads) {
@@ -2906,6 +3133,8 @@ bool process_graph(const WinInfo& w, const Cfg& cfg,
       sample.push_back(r->label);
       strand.push_back(r->strand);
       order.push_back(r->mate);
+      bxv.push_back(r->bx_id);
+      hpv.push_back(r->hp);
       std::memcpy(cat.data() + off, sp, (size_t)ln);
       std::memcpy(qcat.data() + off, qp, (size_t)ln);
       off += ln + GAP;
@@ -2924,7 +3153,7 @@ bool process_graph(const WinInfo& w, const Cfg& cfg,
 
     const uint8_t* idxseq = w.raw + seq_off;
     const int64_t idxlen = seq_len;
-    void* h = lgp_run(
+    void* h = lgp_run_impl(
         cat.data(), qcat.data(), tot, (int64_t)used.size(), starts.data(),
         lens.data(), sample.data(), strand.data(), order.data(),
         name_off.data(), (const uint8_t*)name_blob.data(), k,
@@ -2932,7 +3161,8 @@ bool process_graph(const WinInfo& w, const Cfg& cfg,
         idxseq, idxlen, w.raw, w.rawlen, cfg.cov_threshold, cfg.max_tip_len,
         k / 2, cfg.dfs_limit, cfg.max_indel_len, cfg.max_mismatch,
         cfg.max_unit_len, cfg.min_report_units, cfg.min_report_len,
-        cfg.dist_from_str);
+        cfg.dist_from_str, cfg.lr_mode ? bxv.data() : nullptr,
+        cfg.lr_mode ? hpv.data() : nullptr, cfg.lr_mode);
     auto* res = (lgp::Result*)h;
     const int status = res->status;
     if (status == 3) {
@@ -2959,7 +3189,12 @@ bool process_graph(const WinInfo& w, const Cfg& cfg,
       sj.ref_dist = j.ref_dist;
       sj.trim5 = j.trim5;
       sj.needs_dp = j.needs_dp;
+      sj.nc = (uint8_t)res->nc;
       sj.refcov = refcov;
+      if (res->bxtab) {
+        res->bxtab->names = bx_names;
+        sj.bxtab = res->bxtab;
+      }
       out.jobs.push_back(std::move(sj));
     }
     lgp_free(h);
@@ -3032,10 +3267,18 @@ void process_window(const WinInfo& w, const Cfg& cfg,
   if (active_t || active_n) {
     std::vector<XRead> reads;
     bool skip_t, skip_n;
+    // per-window BX interning (LR mode): stable ids across samples and
+    // k attempts; rendered back to strings at variant emission
+    std::shared_ptr<std::vector<std::string>> bx_names;
+    std::unordered_map<std::string, int32_t> bx_intern;
+    if (cfg.lr_mode)
+      bx_names = std::make_shared<std::vector<std::string>>();
     {
       StageTimer st(stage_ns().extract);
-      skip_t = extract_reads(tumor_alns, w, true, cfg, reads, out);
-      skip_n = extract_reads(normal_alns, w, false, cfg, reads, out);
+      skip_t = extract_reads(tumor_alns, w, true, cfg, reads, out,
+                             bx_names.get(), &bx_intern);
+      skip_n = extract_reads(normal_alns, w, false, cfg, reads, out,
+                             bx_names.get(), &bx_intern);
     }
     if (!skip_t && !skip_n) {
       if (device_mode) {
@@ -3043,7 +3286,8 @@ void process_window(const WinInfo& w, const Cfg& cfg,
         export_reads(reads, out);
       } else {
         StageTimer st(stage_ns().kloop);
-        if (!process_graph(w, cfg, reads, gate_row, n_k, win_idx, out)) {
+        if (!process_graph(w, cfg, reads, gate_row, n_k, win_idx, out,
+                           bx_names)) {
           out.fallback = 1;
           out.jobs.clear();
           return;
@@ -3060,19 +3304,26 @@ void process_window(const WinInfo& w, const Cfg& cfg,
 
 // pack: int32 win; int64 pos; u8 code,prev_ref,prev_alt,pad; int32 kmer;
 //       int32 l_ref,l_alt,l_str; int32 cov[8]; bytes ref,alt,str
+// Wire format v1: 64-byte header (win, pos, code, prev bp pair, version
+// byte, kmer, ref/alt/str lengths, 8 cov counters) + 48 bytes HP triples
+// + 16 bytes BX lengths, then ref | alt | str | bx0..bx3 payloads.
+// (v0 had no HP/BX block; the version byte at offset 15 tells them apart
+// for the Python parsers.)
 void pack_vars(const std::vector<Var>& vars, std::vector<uint8_t>& buf) {
   buf.clear();
   for (const auto& v : vars) {
     const size_t base = buf.size();
-    buf.resize(base + 64 + v.ref.size() + v.alt.size() +
-               v.str_tag.size());
+    size_t bxlen = 0;
+    for (int q = 0; q < 4; ++q) bxlen += v.bx[q].size();
+    buf.resize(base + 128 + v.ref.size() + v.alt.size() +
+               v.str_tag.size() + bxlen);
     uint8_t* w = buf.data() + base;
     std::memcpy(w, &v.win, 4);
     std::memcpy(w + 4, &v.pos, 8);
     w[12] = (uint8_t)v.code;
     w[13] = (uint8_t)v.prev_ref;
     w[14] = (uint8_t)v.prev_alt;
-    w[15] = 0;
+    w[15] = 1;  // wire format version
     std::memcpy(w + 16, &v.kmer, 4);
     const int32_t lr = (int32_t)v.ref.size(), la = (int32_t)v.alt.size(),
                   ls = (int32_t)v.str_tag.size();
@@ -3080,10 +3331,21 @@ void pack_vars(const std::vector<Var>& vars, std::vector<uint8_t>& buf) {
     std::memcpy(w + 24, &la, 4);
     std::memcpy(w + 28, &ls, 4);
     std::memcpy(w + 32, v.cov, 32);
-    std::memcpy(w + 64, v.ref.data(), v.ref.size());
-    std::memcpy(w + 64 + v.ref.size(), v.alt.data(), v.alt.size());
-    std::memcpy(w + 64 + v.ref.size() + v.alt.size(), v.str_tag.data(),
-                v.str_tag.size());
+    std::memcpy(w + 64, v.hp, 48);
+    int32_t bl[4];
+    for (int q = 0; q < 4; ++q) bl[q] = (int32_t)v.bx[q].size();
+    std::memcpy(w + 112, bl, 16);
+    uint8_t* wp = w + 128;
+    std::memcpy(wp, v.ref.data(), v.ref.size());
+    wp += v.ref.size();
+    std::memcpy(wp, v.alt.data(), v.alt.size());
+    wp += v.alt.size();
+    std::memcpy(wp, v.str_tag.data(), v.str_tag.size());
+    wp += v.str_tag.size();
+    for (int q = 0; q < 4; ++q) {
+      std::memcpy(wp, v.bx[q].data(), v.bx[q].size());
+      wp += v.bx[q].size();
+    }
   }
 }
 
@@ -3099,22 +3361,38 @@ void pack_vars(const std::vector<Var>& vars, std::vector<uint8_t>& buf) {
 namespace lsr {
 
 struct Row4 {
-  int64_t v[4];
+  int64_t v[10];  // 10-col coverage row (engine/node.py column order);
+                  // cols 4..9 are zero outside LR mode
 };
 
-inline Row4 row_at(const std::vector<int32_t>& cov, int64_t i) {
-  return Row4{{cov[i * 4], cov[i * 4 + 1], cov[i * 4 + 2], cov[i * 4 + 3]}};
+inline Row4 row_at(const std::vector<int32_t>& cov, int64_t i, int nc) {
+  Row4 r{};
+  for (int c = 0; c < nc; ++c) r.v[c] = cov[i * nc + c];
+  return r;
 }
 
 // REF-allele coverage row at window position pos (zeros out of range);
-// layout from lgp refcov: [t_fwd | t_rev | n_fwd | n_rev] x rawlen.
+// plane layout from lgp refcov: [t_fwd | t_rev | n_fwd | n_rev] (+ LR:
+// [t_hp0..2 | n_hp0..2]) x rawlen. HP values land in row cols 4..6
+// (ref.py compute_coverage writes cols 0,1,4,5,6).
 inline Row4 ref_row(const SJob& j, const WinInfo& w, int64_t pos,
                     bool tumor) {
-  if (pos < 0 || pos >= w.rawlen || !j.refcov) return Row4{{0, 0, 0, 0}};
+  Row4 r{};
+  if (pos < 0 || pos >= w.rawlen || !j.refcov) return r;
   const int32_t* rc = j.refcov->data();
   const int64_t n = w.rawlen;
-  if (tumor) return Row4{{rc[pos], rc[n + pos], 0, 0}};
-  return Row4{{rc[2 * n + pos], rc[3 * n + pos], 0, 0}};
+  if (tumor) {
+    r.v[0] = rc[pos];
+    r.v[1] = rc[n + pos];
+    if (j.nc == 10)
+      for (int h = 0; h < 3; ++h) r.v[4 + h] = rc[(4 + h) * n + pos];
+  } else {
+    r.v[0] = rc[2 * n + pos];
+    r.v[1] = rc[3 * n + pos];
+    if (j.nc == 10)
+      for (int h = 0; h < 3; ++h) r.v[4 + h] = rc[(7 + h) * n + pos];
+  }
+  return r;
 }
 
 struct Tx {
@@ -3127,7 +3405,7 @@ struct Tx {
 };
 
 struct Stats {
-  int64_t mn[4], mn0[4], mean[4];
+  int64_t mn[10], mn0[10], mean[10];
 };
 
 // transcript.py _compute_stats: min seeded from the first row; min_non0
@@ -3135,20 +3413,20 @@ struct Stats {
 // float32-divided then truncated (Transcript.hh:123-226).
 Stats compute_stats(const std::vector<Row4>& rows) {
   Stats st{};
-  int64_t s[4] = {0, 0, 0, 0};
-  for (int c = 0; c < 4; ++c) {
+  int64_t s[10] = {0};
+  for (int c = 0; c < 10; ++c) {
     st.mn[c] = rows[0].v[c];
     st.mn0[c] = rows[0].v[c];
   }
   for (const auto& r : rows)
-    for (int c = 0; c < 4; ++c) {
+    for (int c = 0; c < 10; ++c) {
       const int64_t x = r.v[c];
       s[c] = (s[c] + x) & 0xFFFF;
       if (x != 0 && x < st.mn0[c]) st.mn0[c] = x;
       if (x < st.mn[c]) st.mn[c] = x;
     }
   const int64_t n = (int64_t)rows.size();
-  for (int c = 0; c < 4; ++c)
+  for (int c = 0; c < 10; ++c)
     st.mean[c] = n ? (int64_t)((float)s[c] / (float)n) : 0;
   return st;
 }
@@ -3217,12 +3495,54 @@ inline bool is_acgt(char c) {
   return c == 'A' || c == 'C' || c == 'G' || c == 'T';
 }
 
+// extract.py _bx_set: union the per-mer barcode sets over every K-mer
+// start in [start, end], canonical orientation; ";"-joined sorted
+// strings, "." when empty. Returns false on the out-of-range abort (the
+// reference's std::out_of_range from substr, swallowed upstream).
+inline bool render_bx(
+    const std::unordered_map<std::string, std::vector<int32_t>>& table,
+    int64_t start, int64_t end, const char* seq, int64_t len, int64_t K,
+    const std::vector<std::string>& names, std::string* out) {
+  if (start < 0 || end > len) return false;
+  uint8_t comp[256];
+  lgb::comp_table(comp);
+  std::set<int32_t> ids;
+  std::string fw, rv;
+  for (int64_t i = start; i <= end; ++i) {
+    if (i < 0 || i + K > len) continue;  // short substr: no K-length key
+    fw.assign(seq + i, (size_t)K);
+    rv.resize((size_t)K);
+    for (int64_t q = 0; q < K; ++q)
+      rv[(size_t)q] = (char)comp[(uint8_t)fw[(size_t)(K - 1 - q)]];
+    const std::string& cm = fw < rv ? fw : rv;
+    auto it = table.find(cm);
+    if (it != table.end())
+      for (int32_t b : it->second) ids.insert(b);
+  }
+  if (ids.empty()) {
+    *out = ".";
+    return true;
+  }
+  std::vector<std::string> strs;
+  strs.reserve(ids.size());
+  for (int32_t b : ids) strs.push_back(names[(size_t)b]);
+  std::sort(strs.begin(), strs.end());
+  std::string r;
+  for (size_t q = 0; q < strs.size(); ++q) {
+    if (q) r += ';';
+    r += strs[q];
+  }
+  *out = std::move(r);
+  return true;
+}
+
 // Column-scan state machine for one job. Returns false on the
 // leading-gap abort (the reference's swallowed std::out_of_range).
 bool scan_job(const SJob& j, const WinInfo& w, const std::string& ra,
               const std::string& pa, const Cfg& cfg, std::vector<Var>& vars) {
   const int64_t K = j.K;
-  const int64_t L = (int64_t)j.covN.size() / 4;
+  const int nc = j.nc;
+  const int64_t L = (int64_t)j.covN.size() / nc;
   int64_t pos_in_ref = 0, refpos = 0, pathpos = 0;
   char code = '?';
   std::vector<Tx> txs;
@@ -3251,8 +3571,8 @@ bool scan_job(const SJob& j, const WinInfo& w, const std::string& ra,
     // leading-gap abort kills before the rows are consumed)
     const int64_t Pw = P >= 0 ? P : (L > 0 ? L - 1 : 0);
     if (code != '=') {
-      const Row4 COVn = L ? row_at(j.covN, Pw) : Row4{{0, 0, 0, 0}};
-      const Row4 COVt = L ? row_at(j.covT, Pw) : Row4{{0, 0, 0, 0}};
+      const Row4 COVn = L ? row_at(j.covN, Pw, nc) : Row4{};
+      const Row4 COVt = L ? row_at(j.covT, Pw, nc) : Row4{};
       const Row4 REFn = ref_row(j, w, pos_in_ref + j.trim5, false);
       const Row4 REFt = ref_row(j, w, pos_in_ref + j.trim5, true);
       const int64_t rrpos = pos_in_ref + w.start + j.trim5;
@@ -3313,8 +3633,8 @@ bool scan_job(const SJob& j, const WinInfo& w, const std::string& ra,
         const int64_t idx1 = t.end_pos + q;
         if (idx1 < L) {
           if (j.span[idx1]) t.somatic = true;
-          t.altN.push_back(row_at(j.covN, idx1));
-          t.altT.push_back(row_at(j.covT, idx1));
+          t.altN.push_back(row_at(j.covN, idx1, nc));
+          t.altT.push_back(row_at(j.covT, idx1, nc));
         }
         const int64_t idx2 = t.ref_end_pos + j.trim5 + q;
         t.refN.push_back(ref_row(j, w, idx2, false));
@@ -3339,12 +3659,28 @@ bool scan_job(const SJob& j, const WinInfo& w, const std::string& ra,
     int64_t ACTF = (t.code == 'x') ? aT.mn[2] : aT.mn[0];
     int64_t ACTR = (t.code == 'x') ? aT.mn[3] : aT.mn[1];
 
+    // LR haplotype selections (transcript.py get_min_cov_*_hp: plain min,
+    // minqv columns for SNVs)
+    int64_t HP0RN = rN.mn[4], HP1RN = rN.mn[5], HP2RN = rN.mn[6];
+    int64_t HP0RT = rT.mn[4], HP1RT = rT.mn[5], HP2RT = rT.mn[6];
+    const int hb = (t.code == 'x') ? 7 : 4;
+    int64_t HP0AN = aN.mn[hb], HP1AN = aN.mn[hb + 1], HP2AN = aN.mn[hb + 2];
+    const int64_t HP0AT = aT.mn[hb], HP1AT = aT.mn[hb + 1],
+                  HP2AT = aT.mn[hb + 2];
+
     if (t.somatic) {
       RCNF = rN.mean[0];
       RCNR = rN.mean[1];
       RCTF = rT.mean[0];
       RCTR = rT.mean[1];
       ACNF = ACNR = 0;
+      HP0RT = rT.mean[4];
+      HP1RT = rT.mean[5];
+      HP2RT = rT.mean[6];
+      HP0RN = rN.mean[4];
+      HP1RN = rN.mean[5];
+      HP2RN = rN.mean[6];
+      HP0AN = HP1AN = HP2AN = 0;
     }
 
     if (ACNF > 0 || ACNR > 0 || ACTF > 0 || ACTR > 0) {
@@ -3354,6 +3690,25 @@ bool scan_job(const SJob& j, const WinInfo& w, const std::string& ra,
       find_tandems_full(j.pathseq, cfg.max_unit_len, cfg.min_report_units,
                         cfg.min_report_len, cfg.dist_from_str, t.start_pos,
                         &ans, &slen, &motif);
+      std::string bxs[4];
+      if (j.nc == 10 && j.bxtab && j.bxtab->names) {
+        const auto& names = *j.bxtab->names;
+        const char* rseq = (const char*)w.raw + j.src_off;
+        const int64_t rlen2 = j.ref_dist;
+        // a failed span lookup aborts this and every later transcript of
+        // the path (the reference's swallowed std::out_of_range)
+        if (!render_bx(j.bxtab->ref_n, t.ref_pos - 1, t.ref_end_pos - 1,
+                       rseq, rlen2, K, names, &bxs[0]) ||
+            !render_bx(j.bxtab->ref_t, t.ref_pos - 1, t.ref_end_pos - 1,
+                       rseq, rlen2, K, names, &bxs[1]) ||
+            !render_bx(j.bxtab->graph_n, t.start_pos - 2, t.end_pos - 1,
+                       j.pathseq.data(), (int64_t)j.pathseq.size(), K,
+                       names, &bxs[2]) ||
+            !render_bx(j.bxtab->graph_t, t.start_pos - 2, t.end_pos - 1,
+                       j.pathseq.data(), (int64_t)j.pathseq.size(), K,
+                       names, &bxs[3]))
+          return true;
+      }
       Var v;
       v.win = j.win;
       v.pos = t.pos - 1;
@@ -3371,6 +3726,13 @@ bool scan_job(const SJob& j, const WinInfo& w, const std::string& ra,
       v.cov[7] = (int32_t)ACTR;
       v.ref = t.ref;
       v.alt = t.qry;
+      if (j.nc == 10) {
+        // rotated into the Variant ctor's (hp1, hp2, hp0) order
+        const int64_t hpv[12] = {HP1RN, HP2RN, HP0RN, HP1RT, HP2RT, HP0RT,
+                                 HP1AN, HP2AN, HP0AN, HP1AT, HP2AT, HP0AT};
+        for (int q = 0; q < 12; ++q) v.hp[q] = (int32_t)hpv[q];
+        for (int q = 0; q < 4; ++q) v.bx[q] = bxs[q];
+      }
       if (ans) v.str_tag = std::to_string(slen) + motif;
       vars.push_back(std::move(v));
     }
@@ -3464,6 +3826,7 @@ void* lsr_run(const char* tumor_path, const char* normal_path,
   cfg.min_report_units = (int)icfg[17];
   cfg.min_report_len = (int)icfg[18];
   cfg.dist_from_str = (int)icfg[19];
+  cfg.lr_mode = (int)icfg[20];
   cfg.min_cov_ratio = dcfg[0];
   cfg.cov_threshold = dcfg[1];
   if (readgroups && readgroups[0]) {
@@ -3759,5 +4122,63 @@ void* lsx_scan_batch(
 long lsx_varbuf_size(void* h) { return (long)((LsxOut*)h)->varbuf.size(); }
 const uint8_t* lsx_varbuf(void* h) { return ((LsxOut*)h)->varbuf.data(); }
 void lsx_free(void* h) { delete (LsxOut*)h; }
+
+}  // extern "C"
+
+// ===========================================================================
+// libstdc++ map-order ranks (lmo_*).
+//
+// The reference's node table is std::unordered_map<string, Node_t*>
+// (ref: src/Graph.hh:68) and is iterated during cleanup/compression, so
+// unitig-survivor choice and component numbering depend on libstdc++'s
+// iteration order. The device graph engine produces node tables in
+// creation order; this kernel replays the map order by inserting the mer
+// strings into a real std::unordered_map on this toolchain — bit-exact by
+// construction — and reports each key's iteration rank plus the remaining
+// insert headroom before the next rehash (the fake source/sink inserts of
+// Graph.cc:2156-2227 only perturb iteration order via a rehash, so windows
+// without headroom fall back to the native engine).
+//
+// Mers arrive packed 2 bits/base MSB-first as (hi, lo) uint64 words
+// (k <= 63 fits lo alone; k <= 101 spills into hi), one flat array for the
+// whole window batch with per-window offsets — no Python string
+// materialization anywhere (VERDICT r3 item 3).
+// ===========================================================================
+
+extern "C" {
+
+void lmo_ranks_batch(int64_t n_windows, const int64_t* offs,
+                     const uint64_t* hi, const uint64_t* lo, int32_t k,
+                     int32_t* ranks_out, int64_t* slack_out) {
+  static const char kBase[4] = {'A', 'C', 'G', 'T'};
+  for (int64_t w = 0; w < n_windows; ++w) {
+    const int64_t b = offs[w], e = offs[w + 1];
+    const int64_t n = e - b;
+    if (n <= 0) {
+      slack_out[w] = int64_t(1) << 30;
+      continue;
+    }
+    std::unordered_map<std::string, int64_t> m;
+    m.max_load_factor(1.0f);
+    std::string s((size_t)k, 'A');
+    for (int64_t i = b; i < e; ++i) {
+      // base j sits at bit position 2*(k-1-j) of the 128-bit value hi:lo
+      for (int j = 0; j < k; ++j) {
+        const int bit = 2 * (k - 1 - j);
+        const uint64_t word = bit >= 64 ? hi[i] : lo[i];
+        const int sh = bit >= 64 ? bit - 64 : bit;
+        s[(size_t)j] = kBase[(word >> sh) & 3];
+      }
+      m.emplace(s, i - b);
+    }
+    std::vector<int32_t> rank_of((size_t)n, 0);
+    int32_t r = 0;
+    for (const auto& kv : m) rank_of[(size_t)kv.second] = r++;
+    for (int64_t i = b; i < e; ++i) ranks_out[i] = rank_of[(size_t)(i - b)];
+    slack_out[w] =
+        (int64_t)((double)m.bucket_count() * (double)m.max_load_factor()) -
+        (int64_t)m.size();
+  }
+}
 
 }  // extern "C"

@@ -200,7 +200,7 @@ def run(cfg: Config, command_line: str = "lancet-tpu", date: str | None = None,
     # engines when unavailable or for modes it doesn't cover.
     import os
 
-    use_native = (engine == "tpu" and not cfg.lr_mode and not cfg.kmer_recovery
+    use_native = (engine == "tpu" and not cfg.kmer_recovery
                   and not cfg.print_graph
                   and not os.environ.get("LANCET_TPU_NO_SHARDRUN"))
     if use_native:
@@ -267,7 +267,9 @@ def run(cfg: Config, command_line: str = "lancet-tpu", date: str | None = None,
             if not ordered:
                 continue
             rstats: dict = {}
-            if device_graph_enabled():
+            # the device graph engine carries no BX/HP payloads; LR runs
+            # stay on the fully-native plane (still device-batched DP)
+            if device_graph_enabled() and not cfg.lr_mode:
                 res = run_shards_device(cfg_eff, ordered, tumor, normal,
                                         stats=rstats, mesh=mesh)
             else:

@@ -46,42 +46,67 @@ def fliplink_code(d):
     return ((d & 1) ^ 1) * 2 + ((d >> 1) ^ 1)
 
 
-def _pack_mers(bases, K):
-    """[..., L] base codes -> (hi, lo, valid) packed k-mers at every
-    offset m in [0, L-K]: mer m packs bases[m..m+K-1] MSB-first, and the
-    reverse complement packed likewise; valid = all bases < 4.
+def _nwords(K):
+    """uint32 words needed for a 2-bit-packed k-mer (k <= 101 -> 7)."""
+    return (2 * K + 31) // 32
 
-    Returns fhi, flo, rhi, rlo, valid with shape [..., M], M = L-K+1.
+
+def _pack_mers(bases, K):
+    """[..., L] base codes -> (fwd_words, rc_words, valid) packed k-mers
+    at every offset m in [0, L-K]: mer m packs bases[m..m+K-1] MSB-first
+    into a little-endian list of uint32 words (words[0] = least
+    significant; lexicographic base order == multi-word integer order),
+    and the reverse complement packed likewise; valid = all bases < 4.
+
+    Word arrays have shape [..., M], M = L-K+1. The reference's Mer is a
+    std::string (Mer.hh:45-120); 2x uint64 packing is the SURVEY.md §7
+    tensor analog, here as 32-bit words since TPUs are 32-bit machines.
     """
     L = bases.shape[-1]
     M = L - K + 1
+    NW = _nwords(K)
     b = bases[..., :].astype(jnp.uint32)
-    fhi = jnp.zeros(bases.shape[:-1] + (M,), jnp.uint32)
-    flo = jnp.zeros_like(fhi)
-    rhi = jnp.zeros_like(fhi)
-    rlo = jnp.zeros_like(fhi)
-    bad = jnp.zeros(bases.shape[:-1] + (M,), bool)
+    shape = bases.shape[:-1] + (M,)
+    fw = [jnp.zeros(shape, jnp.uint32) for _ in range(NW)]
+    rw = [jnp.zeros(shape, jnp.uint32) for _ in range(NW)]
+    bad = jnp.zeros(shape, bool)
+    U32 = jnp.uint32(0xFFFFFFFF)
     for j in range(K):
         bj = jax.lax.dynamic_slice_in_dim(b, j, M, axis=-1)
         bad = bad | (bj >= 4)
         bjc = bj & 3
-        fhi = ((fhi << 2) | (flo >> 30)) & jnp.uint32(0xFFFFFFFF)
-        flo = ((flo << 2) | bjc) & jnp.uint32(0xFFFFFFFF)
+        # fwd: shift the multi-word value left by 2 and or-in base j.
+        # Words above bit 2j+1 are still zero and need no shift.
+        for i in range(min(NW - 1, (2 * j + 1) // 32), 0, -1):
+            fw[i] = ((fw[i] << 2) | (fw[i - 1] >> 30)) & U32
+        fw[0] = ((fw[0] << 2) | bjc) & U32
         # rc: complemented base j goes to bit position 2j (little end of
-        # the rc mer is base 0 of fwd) -> build by setting bits directly
+        # the rc mer is base 0 of fwd) -> set bits directly
         comp = bjc ^ 3
-        if 2 * j < 32:
-            rlo = rlo | (comp << (2 * j))
-        else:
-            rhi = rhi | (comp << (2 * j - 32))
-    return fhi, flo, rhi, rlo, ~bad
+        rw[(2 * j) // 32] = rw[(2 * j) // 32] | (comp << (2 * j % 32))
+    return fw, rw, ~bad
 
 
-def _lex_less(ahi, alo, bhi, blo, K):
-    """Packed-int comparison == lexicographic base comparison.
+def _lex_less(aw, bw):
+    """Multi-word packed comparison == lexicographic base comparison.
 
-    Both operands must be k-aligned (same K): compare (hi, lo)."""
-    return (ahi < bhi) | ((ahi == bhi) & (alo < blo))
+    Both operands are little-endian uint32 word lists of equal length."""
+    lt = jnp.zeros(aw[0].shape, bool)
+    eq = jnp.ones(aw[0].shape, bool)
+    for i in range(len(aw) - 1, -1, -1):
+        lt = lt | (eq & (aw[i] < bw[i]))
+        eq = eq & (aw[i] == bw[i])
+    return lt
+
+
+def _words_eq_adjacent(words):
+    """[..., I] word list -> mask of positions where row i equals row i-1
+    (along the last axis), for group-boundary detection after a sort."""
+    eq = None
+    for wd in words:
+        e = wd[..., 1:] == wd[..., :-1]
+        eq = e if eq is None else (eq & e)
+    return eq
 
 
 def _cummax(x, axis):
@@ -123,10 +148,10 @@ def build_k(K, bases, quals, rlen, rsample, rstrand, rfrag, rorder,
     # windows whose rawseq contains non-ACGT fall back on the host side.
 
     # ---- read-mer instances --------------------------------------------
-    fhi, flo, rhi, rlo, bvalid = _pack_mers(bases, K)  # [W, R, M]
-    isF = _lex_less(fhi, flo, rhi, rlo, K)
-    mhi = jnp.where(isF, fhi, rhi)
-    mlo = jnp.where(isF, flo, rlo)
+    NW = _nwords(K)
+    fw, rw, bvalid = _pack_mers(bases, K)  # [W, R, M] per word
+    isF = _lex_less(fw, rw)
+    mw = [jnp.where(isF, fw[i], rw[i]) for i in range(NW)]
 
     n_mers = jnp.maximum(rlen - K + 1, 0)  # per read
     use_read = (rlen - K) > 0  # reads with a single mer are skipped
@@ -143,16 +168,19 @@ def build_k(K, bases, quals, rlen, rsample, rstrand, rfrag, rorder,
     pairq = jnp.pad(pairq, ((0, 0), (0, 0), (0, M - MP)))
 
     # per-base qual-ok of the canonical-oriented mer: qok[m, j] =
-    # q[m + (j if F else K-1-j)] >= minq -> packed as K bits (bit j)
+    # q[m + (j if F else K-1-j)] >= minq -> packed as K bits (bit j of
+    # word j//32; multi-word for k > 32)
+    NQ = (K + 31) // 32
     qge = (quals >= min_qual_call)
-    qok_f = jnp.zeros((W, R, M), jnp.uint32)
-    qok_r = jnp.zeros((W, R, M), jnp.uint32)
+    qok_f = [jnp.zeros((W, R, M), jnp.uint32) for _ in range(NQ)]
+    qok_r = [jnp.zeros((W, R, M), jnp.uint32) for _ in range(NQ)]
     for j in range(K):
         col = jax.lax.dynamic_slice_in_dim(qge, j, M, axis=-1)
         cu = col.astype(jnp.uint32)
-        qok_f = qok_f | (cu << j)          # fwd orientation: base j
-        qok_r = qok_r | (cu << (K - 1 - j))  # rev orientation
-    qok_bits = jnp.where(isF, qok_f, qok_r)
+        qok_f[j // 32] = qok_f[j // 32] | (cu << (j % 32))  # fwd: base j
+        jr = K - 1 - j  # rev orientation
+        qok_r[jr // 32] = qok_r[jr // 32] | (cu << (jr % 32))
+    qok_bits = [jnp.where(isF, qok_f[i], qok_r[i]) for i in range(NQ)]
 
     # stream position of each instance: g = running count of valid
     # instances in (read, offset) order within the window; the ref
@@ -166,11 +194,9 @@ def build_k(K, bases, quals, rlen, rsample, rstrand, rfrag, rorder,
     n_read_inst = flat_valid.sum(axis=1).astype(jnp.int32)  # [W]
 
     # ---- ref-read / proj / index instances -----------------------------
-    praw = _pack_mers(raw, K)  # [W, Mraw]
-    p_fhi, p_flo, p_rhi, p_rlo, p_ok = praw
-    p_isF = _lex_less(p_fhi, p_flo, p_rhi, p_rlo, K)
-    p_hi = jnp.where(p_isF, p_fhi, p_rhi)
-    p_lo = jnp.where(p_isF, p_flo, p_rlo)
+    p_fw, p_rw, p_ok = _pack_mers(raw, K)  # [W, Mraw] per word
+    p_isF = _lex_less(p_fw, p_rw)
+    p_w = [jnp.where(p_isF, p_fw[i], p_rw[i]) for i in range(NW)]
     roff = jnp.arange(Mraw, dtype=jnp.int32)[None, :]
     # ref read: mers 0..rawlen-K (the full window, final mer included)
     ref_nmers = jnp.maximum(rawlen - K + 1, 0)
@@ -188,8 +214,7 @@ def build_k(K, bases, quals, rlen, rsample, rstrand, rfrag, rorder,
     idx_pos = seq_off[:, None] + roff
     idx_valid = (roff < (seq_len[:, None] - K)) & (idx_pos < Mraw)
     ip = jnp.clip(idx_pos, 0, Mraw - 1)
-    i_hi = jnp.take_along_axis(p_hi, ip, axis=1)
-    i_lo = jnp.take_along_axis(p_lo, ip, axis=1)
+    i_w = [jnp.take_along_axis(p_w[i], ip, axis=1) for i in range(NW)]
     i_ok = jnp.take_along_axis(p_ok, ip, axis=1)
     idx_valid = idx_valid & i_ok
 
@@ -204,8 +229,7 @@ def build_k(K, bases, quals, rlen, rsample, rstrand, rfrag, rorder,
 
     okW = window_ok[:, None]
     zero_rm = jnp.zeros((W, Mraw), bool)
-    a_hi = cat(mhi, p_hi, p_hi, i_hi)
-    a_lo = cat(mlo, p_lo, p_lo, i_lo)
+    a_w = [cat(mw[i], p_w[i], p_w[i], i_w[i]) for i in range(NW)]
     a_valid = cat(inst_valid, ref_valid, proj_valid, idx_valid) & okW
     a_isread = cat(inst_valid, ref_valid, zero_rm, zero_rm) & okW
     a_isidx = cat(jnp.zeros((W, R, M), bool), zero_rm, zero_rm,
@@ -221,7 +245,7 @@ def build_k(K, bases, quals, rlen, rsample, rstrand, rfrag, rorder,
     zero_s = jnp.zeros((W, Mraw), jnp.int8)
     a_strand = cat(strd, zero_s, zero_s, zero_s)
     zero_u = jnp.zeros((W, Mraw), jnp.uint32)
-    a_qok = cat(qok_bits, zero_u, zero_u, zero_u)
+    a_qok = [cat(qok_bits[i], zero_u, zero_u, zero_u) for i in range(NQ)]
     # tumor-status flag: instance participates in a quality-clean tumor
     # pair as u (pair m) or v (pair m-1)
     pair_ok = pairq & (samp == S_TMR) & ~is_last & inst_valid
@@ -229,41 +253,35 @@ def build_k(K, bases, quals, rlen, rsample, rstrand, rfrag, rorder,
     a_tflag = cat(pair_ok | prev_pair_ok, zero_rm, zero_rm, zero_rm)
 
     # invalid instances sort to the end of their window segment
-    key_hi = jnp.where(a_valid, a_hi, jnp.uint32(0xFFFFFFFF))
-    key_lo = jnp.where(a_valid, a_lo, jnp.uint32(0xFFFFFFFF))
+    key_w = [jnp.where(a_valid, a_w[i], jnp.uint32(0xFFFFFFFF))
+             for i in range(NW)]
     src_idx = jnp.broadcast_to(
         jnp.arange(I, dtype=jnp.int32)[None, :], (W, I))
-    if 2 * K <= 32:
-        # K <= 15 (97% of attempts): the packed mer fits key_lo alone
-        # (key_hi is identically 0 for valid rows and the 0xFFFFFFFF
-        # invalid sentinel exceeds any 30-bit mer) — a 1-key sort is
-        # several times cheaper than the lexicographic 2-key form on TPU
-        _, perm = jax.lax.sort((key_lo, src_idx), num_keys=1,
-                               dimension=1, is_stable=True)
-    else:
-        _, _, perm = jax.lax.sort(
-            (key_hi, key_lo, src_idx), num_keys=2, dimension=1,
-            is_stable=True)
+    # K <= 15 (97% of attempts): NW == 1 and the packed mer fits one word
+    # (the 0xFFFFFFFF invalid sentinel exceeds any 30-bit mer) — a 1-key
+    # sort is several times cheaper than the lexicographic multi-key form
+    # on TPU. Higher k adds one sort key per 16 bases.
+    sorted_ops = jax.lax.sort(tuple(reversed(key_w)) + (src_idx,),
+                              num_keys=NW, dimension=1, is_stable=True)
+    perm = sorted_ops[-1]
 
     def gather(a):
         return jnp.take_along_axis(a, perm, axis=1)
 
-    s_hi = gather(key_hi)
-    s_lo = gather(key_lo)
+    s_w = list(reversed(sorted_ops[:NW]))  # back to little-endian order
     s_valid = gather(a_valid)
     s_isread = gather(a_isread)
     s_isidx = gather(a_isidx)
     s_time = gather(a_time)
     s_samp = gather(a_samp)
     s_strand = gather(a_strand)
-    s_qok = gather(a_qok)
+    s_qok = [gather(a_qok[i]) for i in range(NQ)]
     s_tflag = gather(a_tflag)
 
     # group boundaries per window (invalid tail forms its own groups that
     # we drop via s_valid)
     newg = jnp.ones((W, I), bool)
-    newg = newg.at[:, 1:].set((s_hi[:, 1:] != s_hi[:, :-1])
-                              | (s_lo[:, 1:] != s_lo[:, :-1]))
+    newg = newg.at[:, 1:].set(~_words_eq_adjacent(s_w))
     newg = newg & s_valid
     gid_in_w = jnp.cumsum(newg.astype(jnp.int32), axis=1) - 1  # [W, I]
     n_groups = jnp.max(jnp.where(s_valid, gid_in_w + 1, 0), axis=1)  # [W]
@@ -296,8 +314,10 @@ def build_k(K, bases, quals, rlen, rsample, rstrand, rfrag, rorder,
     cnt_nr = seg_sum(is_cov & (s_samp == S_NML) & (s_strand != 0))
 
     # per-base qual-ok counts [W, N, K] per class
-    qbase = ((s_qok[:, :, None] >> jnp.arange(K, dtype=jnp.uint32)) & 1
-             ).astype(jnp.int16)  # [W, I, K]
+    qbase = jnp.concatenate(
+        [((s_qok[i][:, :, None]
+           >> jnp.arange(min(32, K - 32 * i), dtype=jnp.uint32)) & 1
+          ).astype(jnp.int16) for i in range(NQ)], axis=-1)  # [W, I, K]
 
     def seg_sum_k(mask):
         v = (qbase * mask[:, :, None]).reshape(W * I, K)
@@ -315,8 +335,8 @@ def build_k(K, bases, quals, rlen, rsample, rstrand, rfrag, rorder,
     is_normal = seg_any(s_isread & (s_samp == S_NML))
     is_tumor = seg_any(s_tflag)
     first_time = seg_min(jnp.where(s_isread, s_time, big))
-    g_hi = seg_min(s_hi)  # all values in a group are equal
-    g_lo = seg_min(s_lo)
+    g_w = [seg_min(s_w[i]) for i in range(NW)]  # per-group mer words
+    # (all values in a group are equal)
     # ---- creation order ------------------------------------------------
     # node index = rank of first_time among this window's node groups
     node_key = jnp.where(has_node, first_time, big)
@@ -329,8 +349,7 @@ def build_k(K, bases, quals, rlen, rsample, rstrand, rfrag, rorder,
             order.reshape((W, N) + (1,) * (a.ndim - 2)), a.shape)
         return jnp.take_along_axis(a, idx, axis=1)
 
-    mers_hi = to_crea(g_hi)
-    mers_lo = to_crea(g_lo)
+    mers_w = tuple(to_crea(g_w[i]) for i in range(NW))
     counts = jnp.stack([to_crea(cnt_tf), to_crea(cnt_tr),
                         to_crea(cnt_nf), to_crea(cnt_nr)], axis=-1)
     mq = jnp.stack([to_crea(mq_tf), to_crea(mq_tr),
@@ -520,30 +539,27 @@ def build_k(K, bases, quals, rlen, rsample, rstrand, rfrag, rorder,
         rorder[:, :, None], (W, R, M)).reshape(W, R * M)
     paired = (order_r > 0) & flat_valid
     IP = R * M
-    fkey_hi = jnp.where(paired, mhi.reshape(W, IP), jnp.uint32(0xFFFFFFFF))
-    fkey_lo = jnp.where(paired, mlo.reshape(W, IP), jnp.uint32(0xFFFFFFFF))
+    fkey_w = [jnp.where(paired, mw[i].reshape(W, IP),
+                        jnp.uint32(0xFFFFFFFF)) for i in range(NW)]
     fkey_fr = jnp.where(paired, frag, I32_MAX)
     fo = jnp.where(paired, order_r.astype(jnp.int32), 0)
-    if 2 * K <= 32:  # mer fits fkey_lo alone (see the build sort above)
-        fl, ff, ford = jax.lax.sort(
-            (fkey_lo, fkey_fr, fo), num_keys=2, dimension=1,
-            is_stable=False)
-        same = ((fl[:, 1:] == fl[:, :-1]) & (ff[:, 1:] == ff[:, :-1])
-                & (ff[:, 1:] != I32_MAX))
-    else:
-        fh, fl, ff, ford = jax.lax.sort(
-            (fkey_hi, fkey_lo, fkey_fr, fo), num_keys=3, dimension=1,
-            is_stable=False)
-        same = ((fh[:, 1:] == fh[:, :-1]) & (fl[:, 1:] == fl[:, :-1])
-                & (ff[:, 1:] == ff[:, :-1]) & (ff[:, 1:] != I32_MAX))
+    f_ops = jax.lax.sort(tuple(reversed(fkey_w)) + (fkey_fr, fo),
+                         num_keys=NW + 1, dimension=1, is_stable=False)
+    ff, ford = f_ops[-2], f_ops[-1]
+    same = (_words_eq_adjacent(f_ops[:NW]) & (ff[:, 1:] == ff[:, :-1])
+            & (ff[:, 1:] != I32_MAX))
     cand = same & (ford[:, 1:] != ford[:, :-1]) & (ford[:, 1:] > 0) \
         & (ford[:, :-1] > 0)
     mate_cand = cand.any(axis=1) & window_ok
 
     fallback = (over_n | over_e | over_d | mate_cand) & window_ok
 
+    zero_n = jnp.zeros((W, N), jnp.uint32)
     return {
-        "mers_hi": mers_hi, "mers_lo": mers_lo,
+        "mers_w": mers_w,
+        # hi/lo aliases for k <= 31 consumers (unpack_mers, tests)
+        "mers_hi": mers_w[1] if NW >= 2 else zero_n,
+        "mers_lo": mers_w[0],
         "counts": counts, "mq": mq.astype(jnp.int16), "totq": totq,
         "mincov_qv": mincov_qv,
         "exists": n_exists, "alive": alive, "low": low,

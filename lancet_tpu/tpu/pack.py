@@ -124,16 +124,13 @@ def map_ranks(mer_strings: list[str]) -> tuple[np.ndarray, int]:
     headroom before the next rehash: fake source/sink inserts
     (Graph.cc:2156-2227) only perturb iteration order via a rehash, so a
     window whose slack can't absorb them must fall back to native.
-    Uses the native C++ rank kernel when available."""
+
+    This is the pure-Python oracle/fallback; production uses the native
+    batch kernel (engine.devicepipe._map_ranks_batch -> lmo_ranks_batch)
+    on packed mers without string materialization."""
     n = len(mer_strings)
     if n == 0:
         return np.zeros(0, np.int32), 1 << 30
-    try:
-        from ..native import lmo_ranks
-
-        return lmo_ranks(mer_strings)
-    except Exception:
-        pass
     from ..cpp_hash import CppUnorderedMap
 
     m = CppUnorderedMap()
@@ -154,3 +151,15 @@ def unpack_mers(hi: np.ndarray, lo: np.ndarray, K: int) -> list[str]:
                            & np.uint64(3)).astype(np.uint8)]
     blob = out.tobytes()
     return [blob[i * K : (i + 1) * K].decode("latin-1") for i in range(n)]
+
+
+def unpack_mers_words(hi64: np.ndarray, lo64: np.ndarray, K: int) -> list[str]:
+    """128-bit packed (hi64, lo64) -> mer strings, k <= 63 (fallback path
+    of engine.devicepipe._map_ranks_batch; the production path is the
+    native lmo_ranks_batch which never materializes strings)."""
+    out = []
+    for i in range(len(lo64)):
+        v = (int(hi64[i]) << 64) | int(lo64[i])
+        out.append("".join("ACGT"[(v >> (2 * (K - 1 - j))) & 3]
+                           for j in range(K)))
+    return out

@@ -54,21 +54,18 @@ def _extend_items(b, ranks, W, N, Cmax, K):
         keep_lo=jnp.zeros((W, N), jnp.int32),
         mer_tot=counts.sum(axis=-1),
         mer_totq=totq,
-        mer_base=_mer_bases(b["mers_hi"], b["mers_lo"], K),
+        mer_base=_mer_bases(b["mers_w"], K),
     )
     return st, NI
 
 
-def _mer_bases(hi, lo, K):
-    """Packed (hi, lo) -> [W, N, K] canonical base codes (2-bit fields
-    never straddle the word boundary: shifts are even)."""
+def _mer_bases(words, K):
+    """Packed word list -> [W, N, K] canonical base codes (2-bit fields
+    never straddle a word boundary: shifts are even)."""
     outs = []
     for j in range(K):
         sh = 2 * (K - 1 - j)
-        if sh >= 32:
-            b = (hi >> (sh - 32)) & 3
-        else:
-            b = (lo >> sh) & 3
+        b = (words[sh // 32] >> (sh % 32)) & 3
         outs.append(b.astype(jnp.int8))
     return jnp.stack(outs, axis=-1)
 

@@ -197,6 +197,30 @@ def scenario(name: str, seed: int = 0):
             bc = rng.randrange(6)
             al.tags["BX"] = ("Z", f"BX{bc:03d}-1")
             al.tags["HP"] = ("i", (2 if has_alt else 1) if rng.random() < 0.8 else 0)
+    elif name == "lr_indel":
+        # linked reads on an insertion: exercises the non-SNV HP column
+        # selection (cols 4-6) and BX span lookups over gapped alignments
+        ins = "".join(rng.choice("ACGT") for _ in range(4))
+        edit = ("i", c, ins)
+        t = hap_reads(refseq, edit, lo, hi, rl, step, "t", 0.5, seed + 1)
+        n = hap_reads(refseq, None, lo, hi, rl, step, "n", 0, seed + 2)
+        for al in t + n:
+            has_alt = any(op == "I" for op, _ in al.cigar)
+            bc = rng.randrange(4)
+            al.tags["BX"] = ("Z", f"BX{bc:03d}-1")
+            al.tags["HP"] = ("i", (2 if has_alt else 1)
+                             if rng.random() < 0.7 else 0)
+    elif name == "lr_mixed":
+        # some reads without BX/HP tags (the "null" barcode path: add_hp
+        # still fires per visit — oracle quirk) + a shared SNV
+        edit = ("s", c, other(refseq[c]))
+        t = hap_reads(refseq, edit, lo, hi, rl, step, "t", 0.6, seed + 1)
+        n = hap_reads(refseq, edit, lo, hi, rl, step, "n", 0.4, seed + 2)
+        for al in t + n:
+            if rng.random() < 0.6:
+                al.tags["BX"] = ("Z", f"BX{rng.randrange(8):03d}-1")
+            if rng.random() < 0.5:
+                al.tags["HP"] = ("i", rng.randrange(3))
     elif name == "random_storm":
         edits = []
         for _ in range(6):
@@ -222,7 +246,7 @@ ALL_SCENARIOS = [
     "str_indel", "quality_trimmed", "paired_overlap", "random_storm",
 ]
 
-LR_SCENARIOS = ["lr_snv"]
+LR_SCENARIOS = ["lr_snv", "lr_indel", "lr_mixed"]
 
 
 def fuzz_corpus(seed: int, n_events: int = 50, spacing: int = 1200):

@@ -72,8 +72,23 @@ def device_build(gs, K=11, N=1024, E=2560, D=10, Lraw=1152, R=600, L=104):
     return {k: np.asarray(v) for k, v in out.items()}
 
 
+def _mers_of(out, w, nn, K):
+    """Decode creation-order mer strings from the multi-word packed
+    output (k <= 63)."""
+    from lancet_tpu.tpu.pack import unpack_mers_words
+
+    mw = out["mers_w"]
+
+    def wd(i):
+        return (mw[i][w][:nn].astype(np.uint64) if i < len(mw)
+                else np.zeros(nn, np.uint64))
+
+    lo64 = wd(0) | (wd(1) << np.uint64(32))
+    hi64 = wd(2) | (wd(3) << np.uint64(32))
+    return unpack_mers_words(hi64, lo64, K)
+
+
 def check_build(gs, out, K):
-    from lancet_tpu.tpu.pack import unpack_mers
 
     for w, (g, refinfo, cfg) in enumerate(gs):
         refinfo.set_k(K)
@@ -81,7 +96,7 @@ def check_build(gs, out, K):
         g.mark_ref_nodes()
         g.remove_low_cov(False, 0)
         nn = int(out["n_nodes"][w])
-        mers = unpack_mers(out["mers_hi"][w][:nn], out["mers_lo"][w][:nn], K)
+        mers = _mers_of(out, w, nn, K)
         dev_alive = [m for i, m in enumerate(mers) if out["alive"][w][i]]
         orc_alive = list(g.nodes._val.keys())  # python insertion order
         assert dev_alive == orc_alive, f"window {w}: node creation order"
@@ -124,6 +139,9 @@ def check_build(gs, out, K):
     ("somatic_snv", 11), ("somatic_ins", 11), ("somatic_del", 21),
     ("two_snvs", 11), ("adjacent_complex", 11), ("str_indel", 11),
     ("quality_trimmed", 11), ("random_storm", 21), ("shared_snv", 11),
+    # k > 31: multi-word packed mers (3-4 uint32 words; the reference
+    # ladder region the hard corpus actually reaches, k=37-41)
+    ("somatic_snv", 37), ("somatic_del", 41), ("random_storm", 51),
 ])
 def test_build_matches_oracle(tmp_path, name, k):
     gs = window_graphs(name, 1, str(tmp_path))
