@@ -363,7 +363,9 @@ def main():
     # (DESIGN.md 'Measured crossover') stays backed by current numbers.
     devgraph = None
     if not os.environ.get("LANCET_TPU_BENCH_SKIP_DEVGRAPH"):
-        dg_region = f"chr1:300-{min(CHROM_LEN - 300, 30_000)}"
+        # >=1,000 windows so the crossover number is converged and the
+        # k>63 / cap fallback costs are visible in the cause breakdown
+        dg_region = f"chr1:300-{min(CHROM_LEN - 300, 120_000)}"
         nwin_dg = count_windows(dg_region)
         os.environ["LANCET_TPU_DEVGRAPH"] = "1"
         try:
@@ -382,6 +384,7 @@ def main():
             "vcf_equal_to_default": dg_vcf == base_vcf,
             "n_dev_windows": dgstats.get("n_dev_windows"),
             "n_dev_fallback": dgstats.get("n_dev_fallback"),
+            "fallback_causes": dgstats.get("dev_fallback_causes"),
             "device_share_of_wall": round(t_dev / dg_elapsed, 4),
             "k_histogram": {str(k): v for k, v in
                             dgstats.get("k_histogram", {}).items()},
@@ -481,8 +484,8 @@ def main():
             "n_dev_fallback": hstats.get("n_dev_fallback"),
         }
 
-    # ---- LR (linked-reads) mode: measured number for the python-engine
-    # path (native plane carries no BX/HP payloads yet; PARITY.md) ------
+    # ---- LR (linked-reads) mode: native-plane path (BX/HP payloads,
+    # LR coverage rows, HP/BX variant fields) + device-batched DP ------
     lr = None
     if not os.environ.get("LANCET_TPU_BENCH_SKIP_LR"):
         from lancet_tpu.config import Config as _Cfg
@@ -524,7 +527,7 @@ def main():
                               if l_anchor else None),
               "anchor_wps": round(l_anchor, 3) if l_anchor else None,
               "concordance": l_conc,
-              "engine": "python (native waiver: no BX/HP payloads)"}
+              "engine": "native (LR plane: BX/HP payloads + device DP)"}
 
     print(f"# windows={nwin} elapsed={elapsed:.2f}s "
           f"anchor_wps={anchor} ({anchor_state}) concordance={concordance} "

@@ -35,27 +35,32 @@ def _enable_compile_cache():
     _CACHE_SET = True
     import os
 
+    # XLA:CPU's LLVM passes recurse deeply on the large graph programs;
+    # the default 8 MB stack intermittently overflows (SIGSEGV inside
+    # backend_compile_and_load). Linux grows the main-thread stack on
+    # demand up to RLIMIT_STACK, so raise it before compiles run.
+    try:
+        import resource
+
+        resource.setrlimit(
+            resource.RLIMIT_STACK,
+            (resource.RLIM_INFINITY, resource.RLIM_INFINITY))
+    except Exception:
+        pass
+
     import jax
 
     try:
         d = os.environ.get("LANCET_TPU_JAX_CACHE")
         if not d:
-            # XLA:CPU AOT (de)serialization is machine-feature sensitive:
-            # a cache dir written on a different host makes loads warn
-            # and writes intermittently SEGFAULT (put_executable_and_time),
-            # so the default dir is fingerprinted by the host's CPU flags.
-            import hashlib
-
-            tag = "tpu"
+            # TPU only: XLA:CPU AOT executable serialization aborts on
+            # this class of host (the AOT target carries CPU features the
+            # machine lacks — cache WRITES die inside
+            # put_executable_and_time, reproducibly, even into a fresh
+            # dir), so CPU backends run with in-memory jit caches only.
             if jax.default_backend() != "tpu":
-                try:
-                    with open("/proc/cpuinfo") as f:
-                        flags = next((l for l in f
-                                      if l.startswith("flags")), "")
-                    tag = hashlib.sha1(flags.encode()).hexdigest()[:10]
-                except OSError:
-                    return
-            d = os.path.expanduser(f"~/.cache/lancet_tpu_xla-{tag}")
+                return
+            d = os.path.expanduser("~/.cache/lancet_tpu_xla-tpu")
         os.makedirs(d, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", d)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -90,10 +95,13 @@ class WindowTask:
 
 # shape buckets: (R, L, N, E). Lraw/W fixed per run. The first bucket
 # carries the common case (low-coverage windows) with a ~3x smaller
-# sort/segment problem; cap overflows promote to the next bucket at the
-# same k (run_device_graph) instead of falling back to the native plane.
+# sort/segment problem via the read cap R; N must clear ~Mraw (a full
+# window's ref pseudo-read alone contributes ~1100 distinct mers, so
+# N < 1100 would promote EVERY window). Cap overflows promote to the
+# next bucket at the same k (run_device_graph) instead of falling back
+# to the native plane.
 _BUCKETS = (
-    (48, 160, 1024, 2560),
+    (48, 160, 1536, 3840),
     (192, 160, 1536, 3840),
     (768, 160, 4096, 10240),
 )
@@ -162,12 +170,21 @@ def run_device_graph(tasks: list[WindowTask], cfg, stats: dict | None = None,
     # that need k > 63 -- BENCH k_histogram tops at 41).
     ks = [k for k in range(cfg.min_k, cfg.max_k + 1, 2) if k <= 63]
 
+    causes = None
+    if stats is not None:
+        causes = stats.setdefault("dev_fallback_causes", {})
+
+    def _cause(key, n=1):
+        if causes is not None and n:
+            causes[key] = causes.get(key, 0) + n
+
     # host-side shape screening: initial bucket floor per task
     pending: list[WindowTask] = []
     for t in tasks:
         bi = _bucket_for(t, Lraw)
         if bi is None:
             t.fallback = True
+            _cause("shape_screen")
         else:
             t.min_bucket = bi
             pending.append(t)
@@ -214,6 +231,7 @@ def run_device_graph(tasks: list[WindowTask], cfg, stats: dict | None = None,
         pending = next_pending
     for t in pending:
         t.fallback = True  # ran out of device ks (k > 63): native ladder
+    _cause("k_gt_63", len(pending))
     if stats is not None:
         stats["n_dev_attempts"] = stats.get("n_dev_attempts", 0) \
             + n_attempts
@@ -225,17 +243,12 @@ def _dispatch_chunk(chunk, cfg, K, W, bi, Lraw, mesh, stats=None):
     import time as _time
 
     from ..tpu.dbg import build_k
-    from ..tpu.pack import WindowBatch, pack_window
+    from ..tpu.pack import WindowBatch, pack_chunk
 
     R, L, N, E = _BUCKETS[bi]
     t0 = _time.perf_counter()
     batch = WindowBatch(W, R, L, Lraw)
-    for w, t in enumerate(chunk):
-        pack_window(batch, w, t.reads, t.rawseq, t.seq_off, t.seq_len,
-                    t.totalreadbp)
-    for w, t in enumerate(chunk):
-        if batch.overflow[w]:
-            batch.window_ok[w] = False
+    pack_chunk(batch, chunk)
 
     # under a mesh, the build is shard_mapped on the window axis (each
     # device builds its window shard's graphs; no collectives -- see
@@ -305,9 +318,18 @@ def _complete_chunk(st_if, cfg, K, mesh, stats, promoted, retry):
     # to the native plane
     shape_over = b_fallback & ~mate_cand
     last_bucket = bi + 1 >= len(_BUCKETS)
+    causes = (stats.setdefault("dev_fallback_causes", {})
+              if stats is not None else None)
+
+    def _cause(key):
+        if causes is not None:
+            causes[key] = causes.get(key, 0) + 1
+
     for w, t in enumerate(chunk):
         if not batch.window_ok[w] or rank_bad[w] or mate_cand[w]:
             t.fallback = True
+            _cause("mate_overlap" if mate_cand[w] else
+                   "rank_rehash" if rank_bad[w] else "non_acgt")
             continue
         if res["fallback"][w]:
             if shape_over[w] and not last_bucket:
@@ -315,6 +337,7 @@ def _complete_chunk(st_if, cfg, K, mesh, stats, promoted, retry):
                 promoted.append(t)
             else:
                 t.fallback = True
+                _cause("shape_caps" if shape_over[w] else "pipeline_caps")
             continue
         _finish_window(t, w, res, K, cfg)
         if not t.done:

@@ -115,6 +115,12 @@ def run(cfg: Config, command_line: str = "lancet-tpu", date: str | None = None,
     if stats is None:
         stats = {}
     t_start = time.perf_counter()
+    if engine == "tpu":
+        # persistent XLA compile cache (TPU backends only — see
+        # devicepipe._enable_compile_cache for why CPU is excluded)
+        from .engine.devicepipe import _enable_compile_cache
+
+        _enable_compile_cache()
     fasta = open_fasta(cfg.ref_fasta)
     tumor = open_bam(cfg.tumor_bam)
     normal = open_bam(cfg.normal_bam)

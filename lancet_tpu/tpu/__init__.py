@@ -2,22 +2,12 @@
 (SURVEY.md §3 ranking): affine-gap alignment, repeat scans, FET scoring,
 k-mer graph construction. Each kernel is validated bit-exact against the
 oracle engine in lancet_tpu.engine.
+
+The persistent XLA compilation cache is NOT enabled here: import-time
+config would force a backend choice, and XLA:CPU AOT executable
+serialization reproducibly aborts on hosts whose CPU features differ
+from the AOT target (put_executable_and_time). The cache is enabled
+lazily — TPU backends only — by
+lancet_tpu.engine.devicepipe._enable_compile_cache (called from the
+runner and the device graph driver).
 """
-
-import os
-
-
-def enable_compilation_cache(path: str = "/tmp/lancet_tpu_jax_cache") -> None:
-    """Persistent XLA compilation cache so repeated runs skip the 20-40s
-    per-shape compile (important over the remote-TPU tunnel)."""
-    import jax
-
-    os.makedirs(path, exist_ok=True)
-    try:
-        jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception:
-        pass
-
-
-enable_compilation_cache()

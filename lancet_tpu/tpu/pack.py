@@ -163,3 +163,56 @@ def unpack_mers_words(hi64: np.ndarray, lo64: np.ndarray, K: int) -> list[str]:
         out.append("".join("ACGT"[(v >> (2 * (K - 1 - j))) & 3]
                            for j in range(K)))
     return out
+
+
+def pack_chunk(batch: WindowBatch, tasks) -> None:
+    """Vectorized pack_window over a whole chunk: one fancy-indexed
+    assignment for all reads' bases/quals instead of a Python loop per
+    read (the host pack stage is serial under a mesh — it must not eat
+    the sharded stages' scaling)."""
+    R, L, Lraw = batch.R, batch.L, batch.Lraw
+    seq_parts: list[bytes] = []
+    qual_parts: list[bytes] = []
+    rows: list[int] = []
+    lens: list[int] = []
+    for w, t in enumerate(tasks):
+        reads = t.reads
+        rawseq = t.rawseq
+        if len(reads) > R or len(rawseq) > Lraw \
+                or any(len(seq) > L for seq, *_ in reads):
+            batch.overflow[w] = True
+            continue
+        raw = _CODE[np.frombuffer(rawseq.encode("latin-1"), np.uint8)]
+        if (raw >= 4).any():
+            # non-ACGT in the window sequence: the oracle would build
+            # N-containing mer nodes, which 2-bit packing cannot represent
+            batch.overflow[w] = True
+            continue
+        for r, (seq, qual, sample, strand, frag, order) in enumerate(reads):
+            seq_parts.append(seq)
+            qual_parts.append(qual)
+            rows.append(w * R + r)
+            lens.append(len(seq))
+            batch.rlen[w, r] = len(seq)
+            batch.rsample[w, r] = _SAMPLE_MAP[sample]
+            batch.rstrand[w, r] = strand - 1
+            batch.rfrag[w, r] = frag
+            batch.rorder[w, r] = order
+        batch.raw[w, : raw.size] = raw
+        batch.rawlen[w] = raw.size
+        batch.seq_off[w] = t.seq_off
+        batch.seq_len[w] = t.seq_len
+        batch.totalreadbp[w] = t.totalreadbp
+        batch.window_ok[w] = True
+    if not rows:
+        return
+    lens_a = np.asarray(lens, np.int64)
+    rows_a = np.repeat(np.asarray(rows, np.int64), lens_a)
+    offs = np.zeros(len(lens_a) + 1, np.int64)
+    np.cumsum(lens_a, out=offs[1:])
+    cols_a = np.arange(int(offs[-1]), dtype=np.int64) \
+        - np.repeat(offs[:-1], lens_a)
+    seq_flat = _CODE[np.frombuffer(b"".join(seq_parts), np.uint8)]
+    qual_flat = np.frombuffer(b"".join(qual_parts), np.uint8)
+    batch.bases.reshape(-1, L)[rows_a, cols_a] = seq_flat
+    batch.quals.reshape(-1, L)[rows_a, cols_a] = qual_flat

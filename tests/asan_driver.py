@@ -67,8 +67,45 @@ def main() -> int:
         for w in windows:
             ma.process_window(w)
         assert ma.path_jobs, "native pipeline produced no path jobs"
+
+        # 4) LR-mode native plane (BX/HP extraction, LR build replay,
+        # BX tables, HP/BX variant fields, varbuf v1). SNV-only corpus:
+        # every job takes the HD<=5 fast path, so no device DP dispatch
+        # happens and JAX stays untouched.
+        lr_refseq, lr_t, lr_n, lr_region = scenario("lr_snv", 1)
+        lr_ref, lr_tp, lr_np = write_pair(tempfile.mkdtemp(dir=td),
+                                          lr_refseq, "chr1", lr_t, lr_n)
+        lcfg = Config(tumor_bam=lr_tp, normal_bam=lr_np, ref_fasta=lr_ref,
+                      region=lr_region, lr_mode=True)
+        from lancet_tpu.engine.shardrun import run_shards
+        lfa = open_fasta(lr_ref)
+        lwins = generate_windows(lfa, [lr_region], lfa.lengths,
+                                 lcfg.window_size, lcfg.padding)
+        res = run_shards(lcfg, lwins, open_bam(lr_tp), open_bam(lr_np))
+        assert res is not None, "LR native shard run failed"
+        lr_vars = [v for vs in res.variants_by_window.values() for v in vs]
+        assert lr_vars, "LR native run produced no variants"
+        assert any(v.bx_alt_t not in (".", "") for v in lr_vars), \
+            "LR native run produced no BX sets"
+
+        # 5) libstdc++ map-order rank kernel (devgraph's host round trip)
+        import numpy as np
+
+        from lancet_tpu.native import lmo_ranks_batch
+        rng = np.random.default_rng(7)
+        for k2, n2 in ((15, 2800), (31, 900), (63, 300)):
+            vals = np.unique(rng.integers(
+                0, 1 << min(2 * k2, 62), n2, dtype=np.uint64))
+            hi = (rng.integers(0, 4, len(vals), dtype=np.uint64)
+                  if k2 > 32 else np.zeros(len(vals), np.uint64))
+            offs = np.array([0, len(vals) // 2, len(vals)], np.int64)
+            r, sl = lmo_ranks_batch(hi, vals, offs, k2)
+            for b, e in zip(offs[:-1], offs[1:]):
+                seg = r[b:e]
+                assert sorted(seg.tolist()) == list(range(e - b)), k2
+
         print(f"asan driver ok: records={nrec} windows={len(windows)} "
-              f"jobs={len(ma.path_jobs)}")
+              f"jobs={len(ma.path_jobs)} lr_vars={len(lr_vars)}")
     return 0
 
 

@@ -13,6 +13,17 @@ from tests.goldengen import scenario
 from tests.helpers import write_pair
 
 
+@pytest.fixture(autouse=True)
+def _clear_jax_caches_per_test():
+    """This module's tests each compile several large executables;
+    XLA:CPU compiles crash once too many live in one process (see
+    conftest). Clearing per test keeps the count bounded."""
+    yield
+    import jax
+
+    jax.clear_caches()
+
+
 def _native_available() -> bool:
     try:
         from lancet_tpu.native import load_library
@@ -108,3 +119,32 @@ def test_devgraph_adversarial_windows(tmp_path, monkeypatch):
     # the adversarial families must actually push the k ladder
     khist = stats.get("k_histogram", {})
     assert any(int(k) > 11 for k in khist), khist
+
+
+@pytest.mark.skipif(not _native_available(), reason="no native toolchain")
+def test_devgraph_bucket_promotion(tmp_path, monkeypatch):
+    """A window that overflows its shape bucket's node/edge caps is
+    PROMOTED to the next bucket at the same k (devicepipe
+    run_device_graph) instead of being lost to the native replay: with
+    the first bucket's caps shrunk to force overflow, the VCF still
+    matches native and the shape_caps fallback cause stays zero."""
+    from lancet_tpu.engine import devicepipe
+
+    refseq, tumor, normal, region = scenario("somatic_snv", 1)
+    ref_path, t_path, n_path = write_pair(str(tmp_path), refseq, "chr1",
+                                          tumor, normal)
+    cfg = Config(tumor_bam=t_path, normal_bam=n_path, ref_fasta=ref_path,
+                 region=region)
+    # tiny first bucket: node/edge caps overflow on any real window
+    monkeypatch.setattr(devicepipe, "_BUCKETS",
+                        ((48, 160, 64, 160),) + devicepipe._BUCKETS[1:])
+    monkeypatch.setenv("LANCET_TPU_DEVGRAPH", "1")
+    stats: dict = {}
+    v_dev = run(cfg, command_line="x", date="D\n", engine="tpu",
+                stats=stats)
+    monkeypatch.setenv("LANCET_TPU_DEVGRAPH", "0")
+    v_nat = run(cfg, command_line="x", date="D\n", engine="tpu")
+    assert v_dev == v_nat
+    causes = stats.get("dev_fallback_causes", {})
+    assert causes.get("shape_caps", 0) == 0, causes
+    assert stats.get("n_dev_windows", 0) > 0

@@ -6,6 +6,17 @@ import numpy as np
 import pytest
 
 
+@pytest.fixture(autouse=True)
+def _clear_jax_caches_per_test():
+    """This module's tests each compile several large executables;
+    XLA:CPU compiles crash once too many live in one process (see
+    conftest). Clearing per test keeps the count bounded."""
+    yield
+    import jax
+
+    jax.clear_caches()
+
+
 @pytest.mark.parametrize("ndev", [2, 8])
 def test_vcf_device_count_invariant(tmp_path, ndev):
     """The full pipeline's VCF must not depend on the mesh size. Runs
