@@ -156,8 +156,11 @@ def run_device_graph(tasks: list[WindowTask], cfg, stats: dict | None = None,
     if W is None:
         # measured on the tunneled v5e: per-chunk cost is transfer- and
         # sort-bound and scales ~linearly with W, so small chunks win
-        # (W=128 ran 25% slower than W=32 on the same corpus)
-        W = 32
+        # (W=128 ran 25% slower than W=32 on the same corpus).
+        # LANCET_TPU_DEVGRAPH_W overrides for A/B measurement.
+        import os as _os2
+
+        W = int(_os2.environ.get("LANCET_TPU_DEVGRAPH_W", "32"))
     if mesh is not None:
         ndev = int(mesh.devices.size)
         W = max(ndev, W // ndev * ndev)  # shardable on the window axis
