@@ -156,7 +156,10 @@ def run_device_graph(tasks: list[WindowTask], cfg, stats: dict | None = None,
     if W is None:
         # measured on the tunneled v5e: per-chunk cost is transfer- and
         # sort-bound and scales ~linearly with W, so small chunks win
-        # (W=128 ran 25% slower than W=32 on the same corpus).
+        # (round 3: W=128 ran 25% slower than W=32; round 4: the W=64
+        # executables did not even compile over the tunnel's
+        # remote-compile service — response truncated mid-body — so W=32
+        # stays the operating point on this topology).
         # LANCET_TPU_DEVGRAPH_W overrides for A/B measurement.
         import os as _os2
 

@@ -244,7 +244,20 @@ def run_shards_device(cfg, windows, tumor, normal,
     t_unpack = _time.perf_counter() - t0
 
     t0 = _time.perf_counter()
-    run_device_graph(tasks, cfg, stats=stats, mesh=mesh)
+    try:
+        run_device_graph(tasks, cfg, stats=stats, mesh=mesh)
+    except Exception as e:  # device/compile-service failure: stay correct
+        import sys as _sys
+
+        print(f"WARNING: device graph engine failed ({type(e).__name__}: "
+              f"{e}); replaying {len(tasks)} windows natively",
+              file=_sys.stderr, flush=True)
+        if stats is not None:
+            stats.setdefault("dev_fallback_causes", {})["engine_error"] = \
+                len(tasks)
+        for t in tasks:
+            t.fallback = True
+            t.jobs = []
     t_dev = _time.perf_counter() - t0
 
     # device DP for the jobs that need it

@@ -148,3 +148,31 @@ def test_devgraph_bucket_promotion(tmp_path, monkeypatch):
     causes = stats.get("dev_fallback_causes", {})
     assert causes.get("shape_caps", 0) == 0, causes
     assert stats.get("n_dev_windows", 0) > 0
+
+
+@pytest.mark.skipif(not _native_available(), reason="no native toolchain")
+def test_devgraph_engine_error_falls_back(tmp_path, monkeypatch):
+    """A device/compile-service failure mid-run (e.g. the remote-compile
+    tunnel truncating a response) must not surface: run_shards_device
+    replays every window natively and the VCF is unchanged."""
+    from lancet_tpu.engine import shardrun
+
+    refseq, tumor, normal, region = scenario("somatic_snv", 1)
+    ref_path, t_path, n_path = write_pair(str(tmp_path), refseq, "chr1",
+                                          tumor, normal)
+    cfg = Config(tumor_bam=t_path, normal_bam=n_path, ref_fasta=ref_path,
+                 region=region)
+
+    def boom(*a, **k):
+        raise RuntimeError("remote_compile: response body closed")
+
+    monkeypatch.setattr("lancet_tpu.engine.devicepipe.run_device_graph",
+                        boom)
+    monkeypatch.setenv("LANCET_TPU_DEVGRAPH", "1")
+    stats: dict = {}
+    v_dev = run(cfg, command_line="x", date="D\n", engine="tpu",
+                stats=stats)
+    monkeypatch.setenv("LANCET_TPU_DEVGRAPH", "0")
+    v_nat = run(cfg, command_line="x", date="D\n", engine="tpu")
+    assert v_dev == v_nat
+    assert stats.get("dev_fallback_causes", {}).get("engine_error", 0) > 0
