@@ -221,6 +221,90 @@ def scenario(name: str, seed: int = 0):
                 al.tags["BX"] = ("Z", f"BX{rng.randrange(8):03d}-1")
             if rng.random() < 0.5:
                 al.tags["HP"] = ("i", rng.randrange(3))
+    elif name == "tag_filters":
+        # BWA aux-tag filter chain (Microassembler.cc:524-559): AS/XS
+        # score-gap drop, XT:A:R repeat drop (tumor only), XM counting
+        edit = ("s", c, other(refseq[c]))
+        t = hap_reads(refseq, edit, lo, hi, rl, step, "t", 0.6, seed + 1)
+        n = hap_reads(refseq, None, lo, hi, rl, step, "n", 0, seed + 2)
+        for i, al in enumerate(t):
+            al.tags["AS"] = ("i", 100)
+            if i % 3 == 0:
+                al.tags["XS"] = ("i", 97)  # |AS-XS|=3 <= 5: dropped (tumor)
+            elif i % 3 == 1:
+                al.tags["XS"] = ("i", 80)  # gap 20: kept
+                if i % 6 == 1:
+                    al.tags["XT"] = ("A", "R")  # repeat-marked: dropped
+            else:
+                al.tags["XM"] = ("i", 6)  # counted, not dropped
+        for i, al in enumerate(n):
+            if i % 4 == 0:
+                al.tags["XT"] = ("A", "R")  # normal keeps XT:A:R reads
+            if i % 5 == 0:
+                al.tags["AS"] = ("i", 60)
+                al.tags["XS"] = ("i", 60)  # normal skips the AS-XS drop
+    elif name == "xa_filtered":
+        # XA alternative-hit filter under -O (Microassembler.cc:570-579):
+        # tumor XA reads dropped, normal XA reads kept (counted)
+        edit = ("s", c, other(refseq[c]))
+        t = hap_reads(refseq, edit, lo, hi, rl, step, "t", 0.6, seed + 1)
+        n = hap_reads(refseq, None, lo, hi, rl, step, "n", 0, seed + 2)
+        for i, al in enumerate(t):
+            if i % 2 == 0:
+                al.tags["XA"] = ("Z", "chr1,+100,100M,1;")
+        for i, al in enumerate(n):
+            if i % 3 == 0:
+                al.tags["XA"] = ("Z", "chr1,+100,100M,1;")
+    elif name == "duplicates":
+        # duplicate-flagged reads are dropped in both samples
+        # (Microassembler.cc:504)
+        edit = ("s", c, other(refseq[c]))
+        t = hap_reads(refseq, edit, lo, hi, rl, step, "t", 0.6, seed + 1)
+        n = hap_reads(refseq, None, lo, hi, rl, step, "n", 0, seed + 2)
+        for i, al in enumerate(t):
+            if i % 3 == 0:
+                al.flag |= 0x400
+        for i, al in enumerate(n):
+            if i % 5 == 0:
+                al.flag |= 0x400
+    elif name == "bastard_mates":
+        # placed-unmapped mates (flag 0x4, CIGAR '*', MAPQ 0): the normal
+        # scan (MAPQ cutoff 0) admits them as BASTARD reads
+        # (Microassembler.cc:618-626, Graph addAlignment code UNMAPPED);
+        # the tumor MAPQ>=15 cut drops its own. The alt-carrying unmapped
+        # normal reads add normal support: mishandling them flips the
+        # call's SOMATIC/SHARED state.
+        edit = ("s", c, other(refseq[c]))
+        t = hap_reads(refseq, edit, lo, hi, rl, step, "t", 0.5, seed + 1)
+        n = hap_reads(refseq, None, lo, hi, rl, step, "n", 0, seed + 2)
+        n_alt = hap_reads(refseq, edit, c - 200, c + 200, rl, 15, "nu",
+                          1.0, seed + 3)
+        for al in n_alt:
+            al.flag = (al.flag & 0x10) | 0x1 | 0x4 | 0x40
+            al.mapq = 0
+            al.cigar = []
+            al.tags.pop("MD", None)
+        n += n_alt
+        t_un = hap_reads(refseq, edit, c - 200, c + 200, rl, 21, "tu",
+                         1.0, seed + 4)
+        for al in t_un:
+            al.flag = (al.flag & 0x10) | 0x1 | 0x4 | 0x40
+            al.mapq = 0
+            al.cigar = []
+            al.tags.pop("MD", None)
+        t += t_un
+    elif name == "rg_allowlist":
+        # --rg-file allowlist (Microassembler.cc:29-44, 616): reads in
+        # unlisted read groups are excluded from the graph
+        edit = ("s", c, other(refseq[c]))
+        t = hap_reads(refseq, edit, lo, hi, rl, step, "t", 0.6, seed + 1)
+        n = hap_reads(refseq, None, lo, hi, rl, step, "n", 0, seed + 2)
+        for i, al in enumerate(t):
+            if i % 2:
+                al.tags["RG"] = ("Z", "rg2")
+        for i, al in enumerate(n):
+            if i % 4 == 0:
+                al.tags["RG"] = ("Z", "rg2")
     elif name == "random_storm":
         edits = []
         for _ in range(6):
@@ -244,9 +328,24 @@ ALL_SCENARIOS = [
     "somatic_snv", "shared_snv", "normal_only_snv", "somatic_ins",
     "somatic_del", "low_vaf_snv", "two_snvs", "adjacent_complex",
     "str_indel", "quality_trimmed", "paired_overlap", "random_storm",
+    "tag_filters", "xa_filtered", "duplicates", "bastard_mates",
+    "rg_allowlist",
 ]
 
 LR_SCENARIOS = ["lr_snv", "lr_indel", "lr_mixed"]
+
+
+def scenario_extras(name: str, tmpdir: str):
+    """Extra reference-binary argv + Config overrides some scenarios
+    need (written into `tmpdir` when they require a side file)."""
+    if name == "xa_filtered":
+        return ["-O"], {"xa_filter": True}
+    if name == "rg_allowlist":
+        path = f"{tmpdir}/rg.txt"
+        with open(path, "w") as f:
+            f.write("rg1\n")
+        return ["--rg-file", path], {"rg_file": path}
+    return [], {}
 
 
 def fuzz_corpus(seed: int, n_events: int = 50, spacing: int = 1200):

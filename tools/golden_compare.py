@@ -41,12 +41,15 @@ def records(vcf_text: str) -> list[str]:
 
 def compare_one(name: str, seed: int, binary: str, engine: str = "oracle",
                 verbose: bool = True):
+    from tests.goldengen import scenario_extras
+
     lr_mode = name.startswith("lr_")
     refseq, tumor, normal, region = scenario(name, seed)
     with tempfile.TemporaryDirectory() as td:
         ref_path, t_path, n_path = write_pair(td, refseq, "chr1", tumor, normal)
+        extra_argv, extra_cfg = scenario_extras(name, td)
         argv = [binary, "--tumor", t_path, "--normal", n_path,
-                "--ref", ref_path, "--reg", region]
+                "--ref", ref_path, "--reg", region] + extra_argv
         if lr_mode:
             argv.append("--linked-reads")
         r = subprocess.run(argv, capture_output=True, text=True, timeout=600)
@@ -54,7 +57,7 @@ def compare_one(name: str, seed: int, binary: str, engine: str = "oracle",
         if r.returncode != 0:
             return None, f"reference crashed rc={r.returncode}"
         cfg = Config(tumor_bam=t_path, normal_bam=n_path, ref_fasta=ref_path,
-                     region=region, lr_mode=lr_mode)
+                     region=region, lr_mode=lr_mode, **extra_cfg)
         ours = run(cfg, command_line="golden", date="D\n", engine=engine)
         our_recs = records(ours)
     if ref_recs == our_recs:
