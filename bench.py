@@ -27,7 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
 
 CORPUS_DIR = "/tmp/lancet_tpu_bench_corpus_v2"
-HARD_DIR = "/tmp/lancet_tpu_bench_corpus_hard_v1"
+HARD_DIR = "/tmp/lancet_tpu_bench_corpus_hard_v2"
 REF_BIN = os.environ.get("LANCET_REF_BIN", "/tmp/refbuild/src/lancet")
 ANCHOR_FILE = os.path.join(CORPUS_DIR, "anchor_wps.txt")
 HARD_ANCHOR_FILE = os.path.join(HARD_DIR, "anchor_wps.txt")
@@ -105,7 +105,7 @@ def build_hard_corpus():
     fams = []
     for idx, c in enumerate(centers):
         fam = ["str", "nearrep", "homopoly", "dense", "highcov",
-               "plain"][idx % 6]
+               "plain", "dup70"][idx % 7]
         fams.append(fam)
         if fam == "str":
             # (AC)x18 + (AGC)x10 microsatellites flanking the event: exact
@@ -123,6 +123,12 @@ def build_hard_corpus():
             base[c + 30 : c + 30 + 24] = seg2
         elif fam == "homopoly":
             base[c - 40 : c - 16] = "A" * 24
+        elif fam == "dup70":
+            # exact 70bp tandem duplication: isRepeat/isAlmostRepeat gate
+            # every k <= 73, forcing the retry ladder to k=75 — past the
+            # device engine's k<=63 packing, so these windows measure the
+            # native-replay cost of the k>63 corner (util.cc:295-360)
+            base[c - 80 : c - 10] = base[c - 150 : c - 80]
     refseq = "".join(base)
 
     tumor, normal = [], []
@@ -132,6 +138,9 @@ def build_hard_corpus():
         step, extra_edits = STEP, []
         if fam == "str":
             edit = ("i", c + 21, "AGC")  # unit-length indel inside the STR
+        elif fam == "dup70":
+            edit = ("s", c + 40, other[refseq[c + 40]])
+            step = 2  # dense: the alt branch must survive pruning at k=75
         elif fam == "nearrep":
             edit = ("s", c + 60, other[refseq[c + 60]])
         elif fam == "homopoly":

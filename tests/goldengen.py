@@ -305,6 +305,22 @@ def scenario(name: str, seed: int = 0):
         for i, al in enumerate(n):
             if i % 4 == 0:
                 al.tags["RG"] = ("Z", "rg2")
+    elif name == "k75_dup":
+        # exact 70bp tandem duplication upstream of the event: isRepeat/
+        # isAlmostRepeat gate every k <= 73, so the retry ladder must
+        # reach k=75 (higher than the device engine's k<=63 packing) for
+        # a PASS somatic call — KMERSIZE=75 in the emitted record
+        # (ref: Microassembler.cc:109-235, util.cc:295-360)
+        base = list(refseq)
+        seg = base[c - 150 : c - 80]
+        base[c - 80 : c - 10] = seg
+        refseq = "".join(base)
+        edit = ("s", c + 40, other(refseq[c + 40]))
+        t = hap_reads(refseq, edit, c - 500, c + 500, rl, 2, "t", 0.6,
+                      seed + 1)
+        n = hap_reads(refseq, None, c - 500, c + 500, rl, 2, "n", 0,
+                      seed + 2)
+        region = f"chr1:{c - 50}-{c + 90}"
     elif name == "random_storm":
         edits = []
         for _ in range(6):
@@ -329,7 +345,7 @@ ALL_SCENARIOS = [
     "somatic_del", "low_vaf_snv", "two_snvs", "adjacent_complex",
     "str_indel", "quality_trimmed", "paired_overlap", "random_storm",
     "tag_filters", "xa_filtered", "duplicates", "bastard_mates",
-    "rg_allowlist",
+    "rg_allowlist", "k75_dup",
 ]
 
 LR_SCENARIOS = ["lr_snv", "lr_indel", "lr_mixed"]
