@@ -305,14 +305,31 @@ def _complete_chunk(st_if, cfg, K, mesh, stats, promoted, retry):
     t0 = _time.perf_counter()
     mers_w = [np.asarray(x) for x in b["mers_w"]]
     n_nodes = np.asarray(b["n_nodes"])
+    n_edges = np.asarray(b["n_edges"])
     b_fallback = np.asarray(b["fallback"])
     mate_cand = np.asarray(b["mate_cand"])
     t0 = mark("t_dg_build", t0)  # build exec + D2H of the mer tables
-    ranks, rank_bad = _map_ranks_batch(mers_w, n_nodes,
-                                       batch.window_ok, K, W, N)
+
+    # slice-to-fit: node/edge tables are creation-order dense, so when
+    # every live lane's graph fits a smaller tier the assemble runs at
+    # those shapes via free in-graph slicing — the cleanup fixpoints'
+    # cost is dominated by minor-axis gathers over [W, NI], which shrink
+    # proportionally. (The shape buckets pick N by READ count; a 40x
+    # window has ~450 reads but only ~1.2k distinct mers.)
+    live = np.asarray(batch.window_ok) & ~b_fallback
+    Nc, Ec = N, E
+    if live.any():
+        nn_max = int(n_nodes[live].max())
+        ne_max = int(n_edges[live].max())
+        for tn, te in _TIERS:
+            if tn < N and te < E and nn_max <= tn and ne_max <= te:
+                Nc, Ec = tn, te
+                break
+    ranks, rank_bad = _map_ranks_batch(
+        [m[:, :Nc] for m in mers_w], n_nodes, batch.window_ok, K, W, Nc)
     t0 = mark("t_dg_ranks", t0)
 
-    out = _assemble(b, jnp.asarray(ranks), K, N, E,
+    out = _assemble(b, jnp.asarray(ranks), K, N, E, Nc, Ec,
                     jnp.asarray(batch.raw), _cfg_scalars(cfg, K),
                     int(cfg.dfs_limit) or (1 << 30),
                     int(cfg.max_indel_len), int(cfg.max_mismatch), mesh)
@@ -400,17 +417,23 @@ def _map_ranks_batch(mers_w, n_nodes, window_ok, K, W, N):
 
 _ASSEMBLE_CACHE: dict = {}
 
+# assemble shape tiers (ascending): the graph-size shapes the jitted
+# attempt tail can run at after slice-to-fit, independent of the read-
+# count bucket that sized the build
+_TIERS = ((1536, 3840),)
 
-def _assemble(b, ranks, K, N, E, raw, cfg_s, dfs_limit, max_indel,
-              max_mismatch, mesh):
+
+def _assemble(b, ranks, K, N, E, Nc, Ec, raw, cfg_s, dfs_limit,
+              max_indel, max_mismatch, mesh):
     """Jitted tail of the attempt: stages + path cover + materialize.
-    One executable per (K, shapes, config scalars) — cached."""
+    One executable per (K, shapes, config scalars) — cached. (Nc, Ec)
+    <= (N, E) are the slice-to-fit shapes the attempt runs at."""
     import jax
 
     from ..parallel.mesh import mesh_key
 
-    key = (K, N, E, tuple(sorted(cfg_s.items())), dfs_limit, max_indel,
-           max_mismatch, mesh_key(mesh))
+    key = (K, N, E, Nc, Ec, tuple(sorted(cfg_s.items())), dfs_limit,
+           max_indel, max_mismatch, mesh_key(mesh))
     fn = _ASSEMBLE_CACHE.get(key)
     if fn is None:
         import jax.numpy as jnp
@@ -418,14 +441,27 @@ def _assemble(b, ranks, K, N, E, raw, cfg_s, dfs_limit, max_indel,
         from ..tpu import pipeline
 
         def impl(b, ranks, raw):
-            st, res = pipeline.run_attempt(b, ranks, K, N, E, _CMAX,
+            if Nc < N:
+                b = dict(b)
+                for key2 in ("counts", "totq", "mq", "alive",
+                             "is_tumor", "is_normal"):
+                    b[key2] = b[key2][:, :Nc]
+                b["mers_w"] = tuple(m[:, :Nc] for m in b["mers_w"])
+                for key2 in ("edge_src", "edge_dst", "edge_dir",
+                             "edge_exists"):
+                    b[key2] = b[key2][:, :Ec]
+                # dead lanes may project node ids past the tier; live
+                # lanes have all ids < n_nodes <= Nc
+                b["nid_proj"] = jnp.where(b["nid_proj"] < Nc,
+                                          b["nid_proj"], -1)
+            st, res = pipeline.run_attempt(b, ranks, K, Nc, Ec, _CMAX,
                                            cfg_s)
-            NI = N + 2 * _CMAX
+            NI = Nc + 2 * _CMAX
             paths = pipeline.path_cover(
-                st, res, K, N, NI, _CMAX, res["ends"]["dist"], dfs_limit,
+                st, res, K, Nc, NI, _CMAX, res["ends"]["dist"], dfs_limit,
                 max_indel)
             jobs = pipeline.materialize_jobs(
-                st, b, paths, res, K, N, NI, _CMAX, raw, max_mismatch)
+                st, b, paths, res, K, Nc, NI, _CMAX, raw, max_mismatch)
             out = dict(jobs)
             out["cyc1"] = res["cyc1"]
             out["cyc2"] = res["cyc2"]

@@ -312,22 +312,48 @@ def links(e_src, e_dst, e_dir, e_alive, e_okey, alive, special, NI):
             "cnt": cnt, "bud_okey": one_ok}
 
 
-def chain_jump(lnk, NI, rounds=17):
+def chain_jump(lnk, NI, rounds=None):
     """Pointer jumping over the link state graph (state = item*2+bit).
     Returns end_state [W, 2NI], dist [W, 2NI], cyc [W] (unterminated
-    chain = mutual-buddy cycle -> window fallback)."""
+    chain = mutual-buddy cycle -> window fallback).
+
+    (nxt, dist) are packed into one int32 so each round costs ONE
+    minor-axis gather (TPU gathers along the lane axis are the dominant
+    cost here), and the loop exits as soon as every lane's jumps are
+    stable — post-compress graphs converge in 2-3 rounds while the
+    static bound covers the longest legal chain (< NI items). dist
+    saturates at DCAP > NI-1; a mutual-buddy cycle keeps doubling dist
+    past that, which is the cycle verdict."""
     W = lnk["lnk_valid"].shape[0]
     S = NI * 2
+    if rounds is None:
+        # 2^rounds must reach DCAP so a cycle's doubling dist saturates
+        # (and is seen as > NI-1) before the static bound cuts the loop
+        rounds = max(2, int(NI + 8).bit_length())
+    DBITS = 13
+    assert S < (1 << (31 - DBITS)), "state id overflows the packed word"
+    DCAP = jnp.int32(min(NI + 8, (1 << DBITS) - 1))
     valid = lnk["lnk_valid"].reshape(W, S)
     to = (lnk["lnk_to"] * 2 + lnk["lnk_bit"]).reshape(W, S)
     sid = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (W, S))
-    nxt = jnp.where(valid, to, sid)
-    dist = jnp.where(valid, 1, 0).astype(jnp.int32)
-    for _ in range(rounds):
-        d2 = dist + jnp.take_along_axis(dist, nxt, 1)
-        nxt = jnp.take_along_axis(nxt, nxt, 1)
-        dist = d2
-    cyc = (dist >= (1 << rounds)).any(axis=1)
+    nxt0 = jnp.where(valid, to, sid)
+    d0 = jnp.where(valid, 1, 0).astype(jnp.int32)
+    p0 = (nxt0 << DBITS) | d0
+
+    def body(c):
+        i, p, _ = c
+        q = jnp.take_along_axis(p, p >> DBITS, 1)
+        d2 = jnp.minimum((p & ((1 << DBITS) - 1))
+                         + (q & ((1 << DBITS) - 1)), DCAP)
+        p2 = (q & ~((1 << DBITS) - 1)) | d2
+        return i + 1, p2, jnp.any(p2 != p)
+
+    _, p, _ = jax.lax.while_loop(
+        lambda c: (c[0] < rounds) & c[2], body,
+        (jnp.int32(0), p0, jnp.bool_(True)))
+    nxt = p >> DBITS
+    dist = p & ((1 << DBITS) - 1)
+    cyc = (dist > NI - 1).any(axis=1)
     return nxt, dist, cyc
 
 
@@ -642,15 +668,22 @@ def cycle_screen(e_src, e_dst, e_dir, e_alive, alive, special, comp,
         (jnp.int32(0), reach, jnp.ones((W,), bool)))
 
     # --- Kahn peel of the non-special walk digraph ---------------------
+    # Edges OUT of special sources (the fake anchors) are excluded: a
+    # special is never entered, so it can't sit on a cycle — and since
+    # specials are not in `live` they would never peel, leaving the
+    # anchor's indegree pinned >= 1 and the whole reachable component
+    # "leftover" (that bug flagged every anchored lane, routing 100% of
+    # windows to the sequential DFS replay).
     nonspec = ~jnp.repeat(special, 2, axis=1)
     live = nonspec & jnp.repeat(alive, 2, axis=1)
+    eact_p = eact & ~jnp.take_along_axis(special, srcs, 1)
     indeg = jnp.zeros((W, NS), jnp.int32).at[wrow, d_state].add(
-        eact.astype(jnp.int32))
+        eact_p.astype(jnp.int32))
 
     def peel(s):
         i, live, indeg, changed = s
         f = live & (indeg == 0)
-        fsrc = jnp.take_along_axis(f, s_state, 1) & eact
+        fsrc = jnp.take_along_axis(f, s_state, 1) & eact_p
         indeg = indeg.at[wrow, d_state].add(-fsrc.astype(jnp.int32))
         return i + 1, live & ~f, indeg, jnp.any(f)
 

@@ -36,12 +36,12 @@ def main() -> int:
     captured: dict = {}
     orig = devicepipe._assemble
 
-    def spy(b, ranks, K, N, E, raw, cfg_s, dfs_limit, max_indel,
-            max_mismatch, mesh):
-        captured.setdefault((K, N, E), (b, ranks, raw, cfg_s, dfs_limit,
-                                        max_indel, max_mismatch))
-        return orig(b, ranks, K, N, E, raw, cfg_s, dfs_limit, max_indel,
-                    max_mismatch, mesh)
+    def spy(b, ranks, K, N, E, Nc, Ec, raw, cfg_s, dfs_limit,
+            max_indel, max_mismatch, mesh):
+        captured.setdefault((K, Nc, Ec), (b, ranks, raw, cfg_s, dfs_limit,
+                                          max_indel, max_mismatch))
+        return orig(b, ranks, K, N, E, Nc, Ec, raw, cfg_s, dfs_limit,
+                    max_indel, max_mismatch, mesh)
 
     devicepipe._assemble = spy
     os.environ["LANCET_TPU_DEVGRAPH"] = "1"
@@ -65,6 +65,18 @@ def main() -> int:
         ranks = jnp.asarray(ranks)
         NI = N + 2 * CM
         W = int(b["alive"].shape[0])
+        # replicate _assemble's slice-to-fit so sub-stage shapes match
+        if b["alive"].shape[1] > N:
+            b = dict(b)
+            for key2 in ("counts", "totq", "mq", "alive", "is_tumor",
+                         "is_normal"):
+                b[key2] = b[key2][:, :N]
+            b["mers_w"] = tuple(m[:, :N] for m in b["mers_w"])
+            for key2 in ("edge_src", "edge_dst", "edge_dir",
+                         "edge_exists"):
+                b[key2] = b[key2][:, :E]
+            b["nid_proj"] = jnp.where(b["nid_proj"] < N,
+                                      b["nid_proj"], -1)
         avgcov = b["avgcov"]
 
         def timed(name, fn, *a):

@@ -38,12 +38,12 @@ def main() -> int:
     captured: dict = {}
     orig = devicepipe._assemble
 
-    def spy(b, ranks, K, N, E, raw, cfg_s, dfs_limit, max_indel,
-            max_mismatch, mesh):
-        captured.setdefault((K, N, E), (b, ranks, raw, cfg_s, dfs_limit,
-                                        max_indel, max_mismatch))
-        return orig(b, ranks, K, N, E, raw, cfg_s, dfs_limit, max_indel,
-                    max_mismatch, mesh)
+    def spy(b, ranks, K, N, E, Nc, Ec, raw, cfg_s, dfs_limit,
+            max_indel, max_mismatch, mesh):
+        captured.setdefault((K, Nc, Ec), (b, ranks, raw, cfg_s, dfs_limit,
+                                          max_indel, max_mismatch))
+        return orig(b, ranks, K, N, E, Nc, Ec, raw, cfg_s, dfs_limit,
+                    max_indel, max_mismatch, mesh)
 
     devicepipe._assemble = spy
     os.environ["LANCET_TPU_DEVGRAPH"] = "1"
