@@ -103,6 +103,7 @@ class WindowTask:
 _BUCKETS = (
     (48, 160, 1536, 3840),
     (192, 160, 1536, 3840),
+    (512, 112, 4096, 10240),
     (768, 160, 4096, 10240),
 )
 _CMAX = 8
@@ -329,11 +330,41 @@ def _complete_chunk(st_if, cfg, K, mesh, stats, promoted, retry):
         [m[:, :Nc] for m in mers_w], n_nodes, batch.window_ok, K, W, Nc)
     t0 = mark("t_dg_ranks", t0)
 
+    tA = _time.perf_counter()
     out = _assemble(b, jnp.asarray(ranks), K, N, E, Nc, Ec,
                     jnp.asarray(batch.raw), _cfg_scalars(cfg, K),
                     int(cfg.dfs_limit) or (1 << 30),
                     int(cfg.max_indel_len), int(cfg.max_mismatch), mesh)
-    res = {k: np.asarray(v) for k, v in out.items()}
+    tB = _time.perf_counter()
+    # two-phase fetch: the job tensors (pathseq/covT/covN/span) are
+    # [W, JMAX, LP]-shaped but most windows emit 1-4 jobs of ~600bp —
+    # fetch the small fields first, then only the used [*, :jmax, :lmax]
+    # corner of the big ones (the tunnel moves ~25 MB/s; the full cov
+    # payload alone is ~10 MB per chunk, the used corner ~1 MB)
+    big = ("pathseq", "covT", "covN", "span")
+    res = {k: np.asarray(v) for k, v in out.items() if k not in big}
+    tC = _time.perf_counter()
+    ok_lane = (np.asarray(batch.window_ok) & ~b_fallback & ~mate_cand
+               & ~rank_bad & ~res["fallback"])
+    nsel = np.where(ok_lane, res["n_sel"], 0)
+    jmax = int(nsel.max()) if len(nsel) else 0
+    if jmax > 0:
+        JMAX = out["pathseq"].shape[1]
+        LP = out["pathseq"].shape[2]
+        jm = min(JMAX, -(-jmax // 2) * 2)
+        jcols = np.arange(JMAX)[None, :jm]
+        lp_used = np.where((jcols < nsel[:, None]), res["lp"][:, :jm], 0)
+        lmax = int(lp_used.max())  # <= LP (over_lp lanes are fallback)
+        lm = min(LP, -(-max(lmax, 1) // 256) * 256)
+        for k2 in big:
+            lw = lm + 1 if k2 == "span" else lm
+            res[k2] = np.asarray(out[k2][:, :jm, :lw])
+    if stats is not None:
+        tD = _time.perf_counter()
+        stats["t_dg_a_dispatch"] = stats.get("t_dg_a_dispatch", 0.0) \
+            + (tB - tA)
+        stats["t_dg_a_exec"] = stats.get("t_dg_a_exec", 0.0) + (tC - tB)
+        stats["t_dg_a_fetch"] = stats.get("t_dg_a_fetch", 0.0) + (tD - tC)
     t0 = mark("t_dg_assemble", t0)
 
     # node/edge/degree cap overflow (not the mate-overlap corner): the

@@ -269,14 +269,25 @@ def build_k(K, bases, quals, rlen, rsample, rstrand, rfrag, rorder,
         return jnp.take_along_axis(a, perm, axis=1)
 
     s_w = list(reversed(sorted_ops[:NW]))  # back to little-endian order
-    s_valid = gather(a_valid)
-    s_isread = gather(a_isread)
-    s_isidx = gather(a_isidx)
+    # payload flags ride ONE packed gather (dynamic-index ops are the
+    # dominant per-op cost on TPU; lanes are nearly free):
+    # bit0 valid, bit1 isread, bit2 isidx, bits3-5 samp, bit6 strand,
+    # bit7 tflag
+    a_flags = (a_valid.astype(jnp.int32)
+               | (a_isread.astype(jnp.int32) << 1)
+               | (a_isidx.astype(jnp.int32) << 2)
+               | (a_samp.astype(jnp.int32) << 3)
+               | ((a_strand != 0).astype(jnp.int32) << 6)
+               | (a_tflag.astype(jnp.int32) << 7))
+    s_flags = gather(a_flags)
+    s_valid = (s_flags & 1) != 0
+    s_isread = (s_flags & 2) != 0
+    s_isidx = (s_flags & 4) != 0
+    s_samp = ((s_flags >> 3) & 7).astype(jnp.int8)
+    s_strand = ((s_flags >> 6) & 1).astype(jnp.int8)
+    s_tflag = (s_flags & 128) != 0
     s_time = gather(a_time)
-    s_samp = gather(a_samp)
-    s_strand = gather(a_strand)
     s_qok = [gather(a_qok[i]) for i in range(NQ)]
-    s_tflag = gather(a_tflag)
 
     # group boundaries per window (invalid tail forms its own groups that
     # we drop via s_valid)
@@ -293,55 +304,73 @@ def build_k(K, bases, quals, rlen, rsample, rstrand, rfrag, rorder,
     seg = jnp.where(s_valid, jnp.minimum(gid_in_w, N), N)
     seg_full = (wid * NS + seg).reshape(-1)
 
-    def seg_sum(vals, dtype=jnp.int32):
-        v = vals.astype(dtype).reshape(W * I, *vals.shape[2:])
+    def seg_sum_lanes(vals):
+        """[W, I, L] -> [W, N, L]: one fused segment op for L lanes."""
+        v = vals.astype(jnp.int32).reshape(W * I, vals.shape[2])
         return jax.ops.segment_sum(
             v, seg_full, num_segments=W * NS).reshape(
-                W, NS, *vals.shape[2:])[:, :N]
-
-    def seg_min(vals):
-        v = vals.reshape(-1)
-        return jax.ops.segment_min(
-            v, seg_full, num_segments=W * NS).reshape(W, NS)[:, :N]
-
-    def seg_any(mask):
-        return seg_sum(mask) > 0
+                W, NS, vals.shape[2])[:, :N]
 
     is_cov = s_isread & (s_samp != S_REF)  # coverage visits (no dedup skip)
-    cnt_tf = seg_sum(is_cov & (s_samp == S_TMR) & (s_strand == 0))
-    cnt_tr = seg_sum(is_cov & (s_samp == S_TMR) & (s_strand != 0))
-    cnt_nf = seg_sum(is_cov & (s_samp == S_NML) & (s_strand == 0))
-    cnt_nr = seg_sum(is_cov & (s_samp == S_NML) & (s_strand != 0))
+    # class 0..3 = (tmr fwd, tmr rev, nml fwd, nml rev); one fused
+    # class-partitioned segment op replaces four (seg*4+class)
+    cls = (jnp.where(s_samp == S_TMR, 0, 2)
+           + (s_strand != 0).astype(jnp.int32))
+    seg4 = jnp.where(is_cov & (gid_in_w < N) & s_valid,
+                     gid_in_w * 4 + cls, 4 * N)
+    seg4_full = (wid * (4 * N + 1) + seg4).reshape(-1)
+    cnt4 = jax.ops.segment_sum(
+        jnp.ones((W * I,), jnp.int32), seg4_full,
+        num_segments=W * (4 * N + 1)).reshape(W, 4 * N + 1)
+    cnt4 = cnt4[:, : 4 * N].reshape(W, N, 4)
+    cnt_tf, cnt_tr, cnt_nf, cnt_nr = (cnt4[..., 0], cnt4[..., 1],
+                                      cnt4[..., 2], cnt4[..., 3])
 
-    # per-base qual-ok counts [W, N, K] per class
+    # per-base qual-ok counts [W, N, K] per class — one fused op
     qbase = jnp.concatenate(
         [((s_qok[i][:, :, None]
            >> jnp.arange(min(32, K - 32 * i), dtype=jnp.uint32)) & 1
           ).astype(jnp.int16) for i in range(NQ)], axis=-1)  # [W, I, K]
+    mq4 = jax.ops.segment_sum(
+        qbase.astype(jnp.int32).reshape(W * I, K), seg4_full,
+        num_segments=W * (4 * N + 1)).reshape(W, 4 * N + 1, K)
+    mq4 = mq4[:, : 4 * N].reshape(W, N, 4, K)
+    mq_tf, mq_tr, mq_nf, mq_nr = (mq4[:, :, 0], mq4[:, :, 1],
+                                  mq4[:, :, 2], mq4[:, :, 3])
 
-    def seg_sum_k(mask):
-        v = (qbase * mask[:, :, None]).reshape(W * I, K)
-        return jax.ops.segment_sum(
-            v.astype(jnp.int32), seg_full,
-            num_segments=W * NS).reshape(W, NS, K)[:, :N]
+    # boolean aggregates: 4 lanes, one fused op
+    any4 = seg_sum_lanes(jnp.stack(
+        [s_isread.astype(jnp.int8), s_isidx.astype(jnp.int8),
+         (s_isread & (s_samp == S_NML)).astype(jnp.int8),
+         s_tflag.astype(jnp.int8)], axis=-1)) > 0
+    has_node, in_index, is_normal, is_tumor = (
+        any4[..., 0], any4[..., 1], any4[..., 2], any4[..., 3])
 
-    mq_tf = seg_sum_k(is_cov & (s_samp == S_TMR) & (s_strand == 0))
-    mq_tr = seg_sum_k(is_cov & (s_samp == S_TMR) & (s_strand != 0))
-    mq_nf = seg_sum_k(is_cov & (s_samp == S_NML) & (s_strand == 0))
-    mq_nr = seg_sum_k(is_cov & (s_samp == S_NML) & (s_strand != 0))
-
-    has_node = seg_any(s_isread)
-    in_index = seg_any(s_isidx)
-    is_normal = seg_any(s_isread & (s_samp == S_NML))
-    is_tumor = seg_any(s_tflag)
-    first_time = seg_min(jnp.where(s_isread, s_time, big))
-    g_w = [seg_min(s_w[i]) for i in range(NW)]  # per-group mer words
+    # min-aggregates: time is monotone within a group (the stable sort
+    # preserves instance order, and t_read/t_ref/proj/index times are
+    # nondecreasing along it), so the group's first element carries the
+    # min — but only over READ instances, which need not come first; use
+    # one segment_min for time. Mer words are constant within a group —
+    # one fused segment_min over NW lanes.
+    first_time = jax.ops.segment_min(
+        jnp.where(s_isread, s_time, big).reshape(-1), seg_full,
+        num_segments=W * NS).reshape(W, NS)[:, :N]
+    gw_st = jnp.stack(s_w, axis=-1)  # [W, I, NW] uint32
+    gw_min = jax.ops.segment_min(
+        gw_st.reshape(W * I, NW), seg_full,
+        num_segments=W * NS).reshape(W, NS, NW)[:, :N]
+    g_w = [gw_min[..., i] for i in range(NW)]
     # (all values in a group are equal)
     # ---- creation order ------------------------------------------------
     # node index = rank of first_time among this window's node groups
     node_key = jnp.where(has_node, first_time, big)
     order = jnp.argsort(node_key, axis=1)  # [W, crea] -> group slot
-    crea_of_group = jnp.argsort(order, axis=1)  # [W, gslot] -> crea idx
+    # inverse permutation by scatter (an argsort would be a second sort)
+    crea_of_group = jnp.zeros((W, N), jnp.int32)
+    crea_of_group = crea_of_group.at[
+        jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32)[:, None], (W, N)),
+        order].set(jnp.broadcast_to(
+            jnp.arange(N, dtype=jnp.int32)[None, :], (W, N)))
     n_nodes = has_node.sum(axis=1).astype(jnp.int32)
 
     def to_crea(a):
@@ -378,9 +407,10 @@ def build_k(K, bases, quals, rlen, rsample, rstrand, rfrag, rorder,
     crea_inst = jnp.take_along_axis(
         crea_of_group, jnp.minimum(gid_in_w, N - 1), axis=1)
     crea_inst = jnp.where(s_valid & (gid_in_w < N), crea_inst, -1)
-    # nid_orig[w, i] = crea id of instance i (original instance order)
-    nid_orig = jnp.take_along_axis(crea_inst, jnp.argsort(perm, axis=1),
-                                   axis=1)
+    # nid_orig[w, i] = crea id of instance i (original instance order):
+    # scatter the sorted values back through perm (no inverse argsort)
+    nid_orig = jnp.full((W, I), -1, jnp.int32).at[
+        wid, perm].set(crea_inst)
 
     nid_read = nid_orig[:, : R * M].reshape(W, R, M)
     nid_ref = nid_orig[:, R * M : R * M + Mraw]
@@ -409,76 +439,75 @@ def build_k(K, bases, quals, rlen, rsample, rstrand, rfrag, rorder,
     pu_uF = jnp.concatenate([uF, ruF], axis=1)
     pu_vF = jnp.concatenate([vF, rvF], axis=1)
     pu_t = jnp.concatenate([tpair, rtpair], axis=1)
-    pu_m = jnp.concatenate([pm, ref_pm], axis=1)
+    pu_m = jnp.concatenate([pm, ref_pm], axis=1) & okW
     fdir = (1 - pu_uF.astype(jnp.int32)) * 2 + (1 - pu_vF.astype(jnp.int32))
     rdir = fliplink_code(fdir)
 
-    EI = 2 * PU
-
-    def flat2(a, b):
-        return jnp.concatenate([a, b], axis=1)
-
-    e_src = flat2(pu_src, pu_dst)
-    e_dst = flat2(pu_dst, pu_src)
-    e_dir = flat2(fdir, rdir)
-    e_time = flat2(pu_t, pu_t + 1)
-    e_valid = flat2(pu_m, pu_m) & okW
-
-    # sort by (w implicit, src, dst, dir); dedup min-time. Node ids are
-    # < N + 2*Cmax and dir < 4, so (src, dst, dir) packs into one int32
-    # key — a 1-key sort beats the lexicographic 3-key form on TPU.
+    # Each pair implies a directed edge (src,dst,fdir) at time 2p and
+    # its twin (dst,src,rdir) at 2p+1 (ref: Graph.cc:320-347). Instead
+    # of materializing and sorting BOTH directions (2*PU rows — the old
+    # dominant build cost), dedup the CANONICAL form (lexicographic min
+    # of the triple and its twin) at PU scale, carrying two time lanes
+    # (seen-canonically vs seen-as-twin), then emit the two directed
+    # rows per canonical group at E scale.
+    use_tw = (pu_dst < pu_src) | ((pu_dst == pu_src) & (rdir < fdir))
+    ck_s = jnp.where(use_tw, pu_dst, pu_src)
+    ck_d = jnp.where(use_tw, pu_src, pu_dst)
+    ck_r = jnp.where(use_tw, rdir, fdir)
     NODECAP = N + 64  # > any node id incl. fake anchors
-    ckey = jnp.where(e_valid,
-                     (e_src * NODECAP + e_dst) * 4 + e_dir, I32_MAX)
-    eidx = jnp.broadcast_to(
-        jnp.arange(EI, dtype=jnp.int32)[None, :], (W, EI))
-    ck, eperm = jax.lax.sort((ckey, eidx), num_keys=1, dimension=1,
-                             is_stable=False)
-    k1 = jnp.take_along_axis(e_src, eperm, axis=1)
-    k2 = jnp.take_along_axis(e_dst, eperm, axis=1)
-    k3 = jnp.take_along_axis(e_dir, eperm, axis=1)
-    ev = jnp.take_along_axis(e_valid, eperm, axis=1)
-    k1 = jnp.where(ev, k1, I32_MAX)
-    k2 = jnp.where(ev, k2, I32_MAX)
-    k3 = jnp.where(ev, k3, I32_MAX)
-    et = jnp.take_along_axis(e_time, eperm, axis=1)
-    enew = jnp.ones((W, EI), bool)
+    ckey = jnp.where(pu_m, (ck_s * NODECAP + ck_d) * 4 + ck_r, I32_MAX)
+    tA = jnp.where(pu_m & ~use_tw, pu_t, big)
+    tB = jnp.where(pu_m & use_tw, pu_t, big)
+    ck, sA, sB = jax.lax.sort((ckey, tA, tB), num_keys=1, dimension=1,
+                              is_stable=False)
+    enew = jnp.ones((W, PU), bool)
     enew = enew.at[:, 1:].set(ck[:, 1:] != ck[:, :-1])
+    ev = ck != I32_MAX
     enew = enew & ev
     egid = jnp.cumsum(enew.astype(jnp.int32), axis=1) - 1
-    n_edges = jnp.max(jnp.where(ev, egid + 1, 0), axis=1)
-    over_e = n_edges > E
-    ES = E + 1  # slot E = dump segment
-    wid_e = jnp.broadcast_to(
-        jnp.arange(W, dtype=jnp.int32)[:, None], (W, EI))
-    eseg = (wid_e * ES
-            + jnp.where(ev, jnp.minimum(egid, E), E)).reshape(-1)
+    n_canon = jnp.max(jnp.where(ev, egid + 1, 0), axis=1)
+    EC = E  # canonical-group cap (n_canon <= n_edges)
+    wid_p = jnp.broadcast_to(
+        jnp.arange(W, dtype=jnp.int32)[:, None], (W, PU))
+    eseg = (wid_p * (EC + 1)
+            + jnp.where(ev, jnp.minimum(egid, EC), EC)).reshape(-1)
+    # one fused segment-min: (ckey, tA, tB) — ckey constant per group
+    emin = jax.ops.segment_min(
+        jnp.stack([ck, sA, sB], axis=-1).reshape(W * PU, 3), eseg,
+        num_segments=W * (EC + 1)).reshape(W, EC + 1, 3)[:, :EC]
+    g_ck, g_tA, g_tB = emin[..., 0], emin[..., 1], emin[..., 2]
+    g_exists = g_ck != I32_MAX
+    g_dir = jnp.where(g_exists, g_ck % 4, 0)
+    g_dst = jnp.where(g_exists, (g_ck // 4) % NODECAP, 0)
+    g_srcn = jnp.where(g_exists, g_ck // (4 * NODECAP), 0)
+    t_canon = jnp.minimum(g_tA, jnp.minimum(g_tB, big - 1) + 1)
+    t_twin = jnp.minimum(g_tB, jnp.minimum(g_tA, big - 1) + 1)
+    # palindromic self-loops (src==dst, dir FR/RF) are their own twin:
+    # the reference's fwd and twin rows dedup to ONE directed edge
+    selftw = g_exists & (g_srcn == g_dst) & ((g_dir == 1) | (g_dir == 2))
+    cat = lambda a, b: jnp.concatenate([a, b], axis=1)  # noqa: E731
+    de_src = cat(g_srcn, g_dst)
+    de_dst = cat(g_dst, g_srcn)
+    de_dir = cat(g_dir, fliplink_code(g_dir))
+    de_time = cat(t_canon, t_twin)
+    de_exists = cat(g_exists, g_exists & ~selftw)
+    n_edges = (2 * jnp.minimum(n_canon, EC)
+               - selftw.sum(axis=1).astype(jnp.int32))
+    over_e = (n_edges > E) | (n_canon > EC)
 
-    def eseg_min(vals, fill):
-        v = jnp.where(ev, vals, fill).reshape(-1)
-        return jax.ops.segment_min(
-            v, eseg, num_segments=W * ES).reshape(W, ES)[:, :E]
-
-    ue_src = eseg_min(k1, I32_MAX)
-    ue_dst = eseg_min(k2, I32_MAX)
-    ue_dir = eseg_min(k3, I32_MAX)
-    ue_time = eseg_min(et, big)
-    ue_exists = jax.ops.segment_sum(
-        ev.astype(jnp.int32).reshape(-1), eseg,
-        num_segments=W * ES).reshape(W, ES)[:, :E] > 0
-
-    # order edges by first-occurrence time (the oracle's eorder)
-    et_key = jnp.where(ue_exists, ue_time, big)
-    eorder = jnp.argsort(et_key, axis=1)
+    # order the directed rows by first-occurrence time (the oracle's
+    # eorder) and truncate to E columns (n_edges > E lanes fall back)
+    et_key = jnp.where(de_exists, de_time, big)
+    eorder = jnp.argsort(et_key, axis=1)[:, :E]
 
     def e_to_time_order(a, fill):
         out = jnp.take_along_axis(a, eorder, axis=1)
         return jnp.where(
-            jnp.take_along_axis(ue_exists, eorder, axis=1), out, fill)
+            jnp.take_along_axis(de_exists, eorder, axis=1), out, fill)
 
-    edge_src = e_to_time_order(ue_src, -1)
-    edge_dst = e_to_time_order(ue_dst, -1)
-    edge_dir = e_to_time_order(ue_dir, 0).astype(jnp.int8)
+    edge_src = e_to_time_order(de_src, -1)
+    edge_dst = e_to_time_order(de_dst, -1)
+    edge_dir = e_to_time_order(de_dir, 0).astype(jnp.int8)
     edge_exists = edge_src >= 0
 
     # ---- per-node out-edge adjacency (time-ordered slots) -------------

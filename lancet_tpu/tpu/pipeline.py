@@ -151,15 +151,30 @@ def cleanup(st, K, N, NI, cfg_s, avgcov, U=256, D2=24, TIP_ROUNDS=6,
     mincov, _ = stages.item_mincovs(st, K, N, NI)
     thr = jnp.floor(jnp.sqrt(avgcov)).astype(jnp.int32)
     max_link = cfg_s["max_link_len"]
-    # STR guard candidates: materialize short strings and probe pos K-1
+    # STR guard candidates: materialize short strings and probe pos K-1.
+    # The guard only gates kills, and a kill needs initial degree >= 2
+    # (the sequential pass only decrements) with mincov <= thr — when no
+    # item in the batch satisfies that, the whole tandem probe is
+    # skipped (short links are rare: an SNV bubble branch is ~K mers,
+    # never < K/2).
     merlen = st["merlen"]
     cand = (st["alive"] & ~st["special"] & (merlen < max_link)
             & (merlen > 0))
-    guard = _short_link_str_guard(st, cand, K, N, NI,
-                                  cfg_s["max_unit_len"],
-                                  cfg_s["min_report_units"],
-                                  cfg_s["min_report_len"],
-                                  cfg_s["dist_from_str"])
+    W = cand.shape[0]
+    EE = st["e_src"].shape[1]
+    deg0 = jnp.zeros((W, NI + 1), jnp.int32).at[
+        stages._wid(W, EE),
+        jnp.where(st["e_alive"], st["e_src"], NI)].add(
+        jnp.where(st["e_alive"], 1, 0))[:, :NI]
+    pre = cand & (deg0 >= 2) & (mincov <= thr[:, None])
+    guard = jax.lax.cond(
+        pre.any(),
+        lambda: _short_link_str_guard(st, cand, K, N, NI,
+                                      cfg_s["max_unit_len"],
+                                      cfg_s["min_report_units"],
+                                      cfg_s["min_report_len"],
+                                      cfg_s["dist_from_str"]),
+        lambda: jnp.zeros((W, NI), bool))
 
     def sl_cond(items, deg):
         ml = jnp.take_along_axis(merlen, items[:, None], 1)[:, 0]
@@ -167,10 +182,17 @@ def cleanup(st, K, N, NI, cfg_s, avgcov, U=256, D2=24, TIP_ROUNDS=6,
         gu = jnp.take_along_axis(guard, items[:, None], 1)[:, 0]
         return (deg >= 2) & (ml < max_link) & (mc <= thr) & ~gu
 
-    st, removed_any, over = stages._seq_removal_pass(st, sl_cond, U, D2)
-    fallback |= over
-    st, fb = stages.compress_round(st, K, NI, N)
-    fallback |= fb
+    # no possible kill -> the removal sweep is a no-op and the graph is
+    # already compressed (post-tips), so the whole stage is skipped
+    def do_sl(st):
+        st2, _removed, over = stages._seq_removal_pass(st, sl_cond, U, D2)
+        st3, fb = stages.compress_round(st2, K, NI, N)
+        return st3, over | fb
+
+    st, fb_sl = jax.lax.cond(
+        pre.any(), do_sl,
+        lambda st: (st, jnp.zeros((W,), bool)), st)
+    fallback |= fb_sl
     return st, fallback
 
 
@@ -620,7 +642,7 @@ def _is_almost_repeat_paths(seq, lens, K, max_mismatch, LP):
     w = K + 1
     maxp = ln - K - 1  # both pattern and candidate offsets bounded
 
-    def body(hit, d):
+    def body(d, hit):
         shifted = jnp.roll(eff, -d, axis=1)
         # roll wraps; wrapped tail positions exceed maxp checks anyway,
         # and index-unique pads keep them mismatched
@@ -633,10 +655,14 @@ def _is_almost_repeat_paths(seq, lens, K, max_mismatch, LP):
         pidx = jnp.arange(LP - w + 1, dtype=jnp.int32)[None, :]
         valid = (pidx <= maxp[:, None] - d) & (pidx <= maxp[:, None]) \
             & (d <= maxp[:, None])
-        return hit | (valid & (sums <= max_mismatch)).any(axis=1), None
+        return hit | (valid & (sums <= max_mismatch)).any(axis=1)
 
     hit0 = jnp.zeros((B,), bool)
-    hit, _ = jax.lax.scan(body, hit0, jnp.arange(1, LP, dtype=jnp.int32))
+    # shifts beyond the longest path's maxp can't match: a dynamic
+    # fori_loop bound cuts ~2/3 of the LP-sized static sweep for
+    # typical ~600bp paths in the LP=1728 buffer
+    d_hi = jnp.minimum(jnp.maximum(jnp.max(maxp) + 1, 1), LP)
+    hit = jax.lax.fori_loop(1, d_hi, body, hit0)
     return hit.reshape(W, J)
 
 
