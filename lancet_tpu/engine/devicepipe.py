@@ -216,21 +216,41 @@ def run_device_graph(tasks: list[WindowTask], cfg, stats: dict | None = None,
         attempt = [t for t, g in zip(pending, gates) if not g]
         next_pending = [t for t, g in zip(pending, gates) if g]
         while attempt:  # promotion rounds (bounded by len(_BUCKETS))
-            groups: dict[int, list] = {}
-            for t in attempt:
-                groups.setdefault(t.min_bucket, []).append(t)
+            # chunks are filled ACROSS bucket boundaries (sorted by
+            # bucket, each chunk built at its max member's shapes):
+            # per-bucket grouping left most chunks partially filled and
+            # multiplied dispatches — the pack waste of a small-bucket
+            # window riding a bigger bucket is far cheaper than an extra
+            # ~0.5s chunk dispatch
+            attempt.sort(key=lambda t: t.min_bucket)
             promoted: list[WindowTask] = []
             inflight = None
-            for bi, grp in sorted(groups.items()):
-                for lo in range(0, len(grp), W):
-                    chunk = grp[lo : lo + W]
-                    n_attempts += 1
-                    st = _dispatch_chunk(chunk, cfg, K, W, bi, Lraw,
-                                         mesh, stats)
-                    if inflight is not None:
-                        _complete_chunk(inflight, cfg, K, mesh, stats,
-                                        promoted, next_pending)
-                    inflight = st
+            for lo in range(0, len(attempt), W):
+                chunk = attempt[lo : lo + W]
+                # tail chunks (higher-k retries shrink fast) run at a
+                # small W tier: chunk cost scales with W, so an 8-wide
+                # executable beats padding 3 windows into 32 lanes
+                Wc = W
+                if mesh is None and len(chunk) <= 8 <= W:
+                    Wc = 8
+                # smallest bucket that satisfies every member: >= each
+                # member's min_bucket (its N/E promotion floor; N/E/R
+                # grow with the index) AND fits the chunk's read
+                # count/length (L is NOT monotone across buckets)
+                bi_floor = max(t.min_bucket for t in chunk)
+                need_r = max(len(t.reads) for t in chunk)
+                need_l = max((len(s) for t in chunk
+                              for s, *_ in t.reads), default=0)
+                bi = next(i for i in range(bi_floor, len(_BUCKETS))
+                          if _BUCKETS[i][0] >= need_r
+                          and _BUCKETS[i][1] >= need_l)
+                n_attempts += 1
+                st = _dispatch_chunk(chunk, cfg, K, Wc, bi, Lraw,
+                                     mesh, stats)
+                if inflight is not None:
+                    _complete_chunk(inflight, cfg, K, mesh, stats,
+                                    promoted, next_pending)
+                inflight = st
             if inflight is not None:
                 _complete_chunk(inflight, cfg, K, mesh, stats,
                                 promoted, next_pending)

@@ -118,8 +118,21 @@ def cleanup(st, K, N, NI, cfg_s, avgcov, U=256, D2=24, TIP_ROUNDS=6,
     # once a round removes nothing in any lane the remaining rounds are
     # identity (a removal-free sweep leaves st unchanged and compressing
     # an already-compressed graph is idempotent), so converged batches
-    # skip straight to the convergence check.
+    # skip straight to the convergence check. The loop CARRY holds only
+    # the arrays the round mutates — rank/special/comp and the K-wide
+    # mer payload tables are loop-invariant and live in the closure
+    # (carried buffers are double-buffer-copied at every iteration
+    # boundary; the invariant tables were most of that traffic).
     max_tip = cfg_s["max_tip_len"]
+    _VKEYS = ("alive", "merlen", "csum", "n_t", "is_tumor", "is_normal",
+              "e_src", "e_dst", "e_dir", "e_alive", "e_okey",
+              "mer_item", "mer_flip", "mer_pos", "keep_lo", "keep_hi")
+    st_base = dict(st)
+
+    def _unpack(tup):
+        out = dict(st_base)
+        out.update(zip(_VKEYS, tup))
+        return out
 
     def tip_cond(st):
         merlen = st["merlen"]
@@ -131,17 +144,21 @@ def cleanup(st, K, N, NI, cfg_s, avgcov, U=256, D2=24, TIP_ROUNDS=6,
         return cond
 
     def tip_body(carry):
-        r, st, fallback, _any = carry
-        st, removed_any, over = stages._seq_removal_pass(
-            st, tip_cond(st), U, D2)
+        r, tup, fallback, _any = carry
+        st_l = _unpack(tup)
+        st_l, removed_any, over = stages._seq_removal_pass(
+            st_l, tip_cond(st_l), U, D2)
         fallback = fallback | over
-        st, fb = stages.compress_round(st, K, NI, N)
+        st_l, fb = stages.compress_round(st_l, K, NI, N)
         fallback = fallback | fb
-        return r + 1, st, fallback, jnp.any(removed_any)
+        return (r + 1, tuple(st_l[k] for k in _VKEYS), fallback,
+                jnp.any(removed_any))
 
-    r, st, fallback, _ = jax.lax.while_loop(
+    r, tup, fallback, _ = jax.lax.while_loop(
         lambda c: (c[0] < TIP_ROUNDS) & ((c[0] == 0) | c[3]),
-        tip_body, (jnp.int32(0), st, fallback, jnp.bool_(True)))
+        tip_body, (jnp.int32(0), tuple(st[k] for k in _VKEYS), fallback,
+                   jnp.bool_(True)))
+    st = _unpack(tup)
     # non-convergence check: one more pass must remove nothing
     st2, removed_any, over = stages._seq_removal_pass(
         st, tip_cond(st), U, D2)

@@ -50,9 +50,13 @@ def main() -> int:
     print(f"devgraph: {nwin} windows in {dt:.2f}s = {nwin / dt:.1f} wps")
     print("  phases:", {k: round(v, 2) for k, v in stats.items()
                         if k.startswith("t_dg")})
+    print("  all stats:", {k: (round(v, 2) if isinstance(v, float) else v)
+                              for k, v in sorted(stats.items())
+                              if isinstance(v, (int, float))})
     print("  n_dev_windows:", stats.get("n_dev_windows"),
           "fallbacks:", stats.get("n_dev_fallback"),
-          stats.get("dev_fallback_causes"))
+          stats.get("dev_fallback_causes"),
+          "attempts(chunk dispatches):", stats.get("n_dev_attempts"))
     if check_base:
         with contextlib.redirect_stderr(io.StringIO()):
             base = run(cfg, command_line="p", date="D\n", engine="tpu",
