@@ -149,20 +149,33 @@ def cleanup(st, K, N, NI, cfg_s, avgcov, U=256, D2=24, TIP_ROUNDS=6,
         st_l, removed_any, over = stages._seq_removal_pass(
             st_l, tip_cond(st_l), U, D2)
         fallback = fallback | over
-        st_l, fb = stages.compress_round(st_l, K, NI, N)
+        hit = jnp.any(removed_any)
+        # a removal-free round leaves the graph compressed already —
+        # the compress would be identity, so it only runs on a hit
+        st_l, fb = jax.lax.cond(
+            hit,
+            lambda s: stages.compress_round(s, K, NI, N),
+            lambda s: (s, jnp.zeros_like(fallback)), st_l)
         fallback = fallback | fb
-        return (r + 1, tuple(st_l[k] for k in _VKEYS), fallback,
-                jnp.any(removed_any))
+        return (r + 1, tuple(st_l[k] for k in _VKEYS), fallback, hit)
 
-    r, tup, fallback, _ = jax.lax.while_loop(
+    r, tup, fallback, last_hit = jax.lax.while_loop(
         lambda c: (c[0] < TIP_ROUNDS) & ((c[0] == 0) | c[3]),
         tip_body, (jnp.int32(0), tuple(st[k] for k in _VKEYS), fallback,
                    jnp.bool_(True)))
     st = _unpack(tup)
-    # non-convergence check: one more pass must remove nothing
-    st2, removed_any, over = stages._seq_removal_pass(
-        st, tip_cond(st), U, D2)
-    fallback |= removed_any | over
+    # non-convergence check: one more pass must remove nothing. When the
+    # loop exited because its last round removed nothing, that round WAS
+    # the verification — skip the extra sweep.
+    W0 = st["alive"].shape[0]
+
+    def verify(st):
+        _st2, removed_any, over = stages._seq_removal_pass(
+            st, tip_cond(st), U, D2)
+        return removed_any | over
+
+    fallback |= jax.lax.cond(
+        last_hit, verify, lambda st: jnp.zeros((W0,), bool), st)
 
     # removeShortLinks (Graph.cc:2833-2880)
     mincov, _ = stages.item_mincovs(st, K, N, NI)
@@ -296,22 +309,9 @@ def path_cover(st, res, K, N, NI, Cmax, reflens, dfs_limit, max_indel,
     ends = res["ends"]
     runnable = (ends["anchored"] & ~res["cyc1"] & ~res["cyc2"])  # [W,Cmax]
 
-    # adjacency in okey order
-    okey = stages.edge_renorm(e_src, st["e_okey"], e_alive, NI)
-    key1 = jnp.where(e_alive, e_src, BIG)
-    eidx = jnp.broadcast_to(jnp.arange(EE, dtype=jnp.int32)[None], (W, EE))
-    k1, _, perm = jax.lax.sort((key1, okey, eidx), num_keys=2,
-                               dimension=1, is_stable=True)
-    newrun = jnp.ones((W, EE), bool)
-    newrun = newrun.at[:, 1:].set(k1[:, 1:] != k1[:, :-1])
-    run_start = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(newrun, eidx, 0), axis=1)
-    slot = eidx - run_start
-    ea_s = jnp.take_along_axis(e_alive, perm, 1)
-    over_d = jnp.max(jnp.where(ea_s, slot + 1, 0), axis=1) > D2
-    adj = jnp.full((W, NI, D2), -1, jnp.int32)
-    adj = adj.at[_wid(W, EE), jnp.where(ea_s & (slot < D2), k1, NI),
-                 jnp.minimum(slot, D2 - 1)].set(perm, mode="drop")
+    # adjacency in okey order (one packed-key sort, shared helper)
+    adj, over_d = stages.okey_adjacency(
+        e_src, st["e_dst"], e_dir, e_alive, st["e_okey"], NI, D2)
 
     wrow = jnp.arange(W, dtype=jnp.int32)
     sb_all = startbit(e_dir).astype(jnp.int32)
@@ -486,7 +486,13 @@ def path_cover(st, res, K, N, NI, Cmax, reflens, dfs_limit, max_indel,
 
 def _donor_tables(st, K, N, NI, US, LU):
     """Per-unitig base->donor maps: donor_mer/donor_ci [W, US, LU] and
-    slot_of_item [W, NI] (-1 = not alive / over cap)."""
+    slot_of_item [W, NI] (-1 = not alive / over cap).
+
+    Donor intervals partition each unitig's bases contiguously (the
+    compress junction trims drop exactly the K-1 overlap), so instead
+    of K scatters (one per in-mer offset) the map is built by ONE
+    scatter of each mer's packed (id, pos, flip) record at its interval
+    START, followed by a last-valid forward fill along the base axis."""
     W = st["alive"].shape[0]
     alive = st["alive"] & ~st["special"]
     key = jnp.where(alive, jnp.arange(NI, dtype=jnp.int32)[None], BIG)
@@ -500,31 +506,39 @@ def _donor_tables(st, K, N, NI, US, LU):
         jnp.where(slot_ok, jnp.broadcast_to(
             jnp.arange(US, dtype=jnp.int32)[None], (W, US)), -1),
         mode="drop")
-    donor_mer = jnp.full((W, US, LU), -1, jnp.int32)
-    donor_ci = jnp.zeros((W, US, LU), jnp.int32)
-    donor_flip = jnp.zeros((W, US, LU), bool)
     mi = jnp.clip(st["mer_item"], 0, NI - 1)
     mslot = jnp.take_along_axis(slot_of_item, mi, 1)
     klo, khi = st["keep_lo"], st["keep_hi"]
     flip, pos = st["mer_flip"], st["mer_pos"]
     NM = mi.shape[1]
-    over_lu = jnp.zeros((W,), bool)
     midx = jnp.broadcast_to(jnp.arange(NM, dtype=jnp.int32)[None], (W, NM))
-    for j in range(K):
-        keep = (j >= klo) & (j < khi) & (mslot >= 0)
-        ci = jnp.where(flip, K - 1 - j, j)
-        tgt = pos + j
-        over_lu = over_lu | (keep & (tgt >= LU)).any(axis=1)
-        wr = keep & (tgt < LU)
-        donor_mer = donor_mer.at[
-            _wid(W, NM), jnp.where(wr, mslot, US),
-            jnp.clip(tgt, 0, LU - 1)].set(midx, mode="drop")
-        donor_ci = donor_ci.at[
-            _wid(W, NM), jnp.where(wr, mslot, US),
-            jnp.clip(tgt, 0, LU - 1)].set(ci, mode="drop")
-        donor_flip = donor_flip.at[
-            _wid(W, NM), jnp.where(wr, mslot, US),
-            jnp.clip(tgt, 0, LU - 1)].set(flip, mode="drop")
+    keep = (khi > klo) & (mslot >= 0)
+    start = pos + klo  # first donated base in unitig coords
+    endp = pos + khi
+    over_lu = (keep & (endp > LU)).any(axis=1)
+    wr = keep & (start < LU)
+    # packed record: mer id (12b) | flip (1b) | pos+8 (12b): pos can be
+    # -K+1..LU-1 for fully-trimmed edge mers; +8 keeps the field small
+    # and non-negative isn't required for kept mers (klo>=0 => start>=pos
+    # => pos >= start-K+1 > -K). NM <= 4096, LU <= 1536 + K < 4096-8.
+    assert NM <= 4096 and LU + 8 < 4096
+    rec = (midx << 13) | (flip.astype(jnp.int32) << 12) | (pos + 8)
+    starts = jnp.full((W, US, LU), -1, jnp.int32)
+    starts = starts.at[
+        _wid(W, NM), jnp.where(wr, mslot, US),
+        jnp.clip(start, 0, LU - 1)].set(jnp.where(wr, rec, -1),
+                                        mode="drop")
+    # last-valid forward fill (associative: picks the rightmost valid)
+    filled = jax.lax.associative_scan(
+        lambda a, b: jnp.where(b >= 0, b, a), starts, axis=2)
+    dm = jnp.where(filled >= 0, filled >> 13, -1)
+    dflip = ((filled >> 12) & 1) == 1
+    dpos = (filled & 0xFFF) - 8
+    p = jnp.arange(LU, dtype=jnp.int32)[None, None, :]
+    j = p - dpos  # in-mer donor offset
+    donor_ci = jnp.where(dflip, K - 1 - j, j)
+    donor_mer = dm
+    donor_flip = dflip & (dm >= 0)
     return donor_mer, donor_ci, donor_flip, slot_of_item, over | over_lu
 
 

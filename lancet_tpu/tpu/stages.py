@@ -30,6 +30,24 @@ import jax.numpy as jnp
 
 BIG = jnp.int32(1 << 30)
 
+# okey packing for single-key edge sorts: real okeys are either edge
+# creation indices (< E <= 10240) or Dcap-augmented renorm slots
+# (< 192); the two BIG-2/BIG-1 anchor sentinels map to the top two
+# codes. 14 bits holds them all, and (NI << 14) stays < 2^31 for every
+# shape bucket (NI <= 4112).
+_OKB = 14
+_OKMAX = (1 << _OKB) - 1
+
+
+def _pack_src_okey(e_src, e_okey, e_alive, NI):
+    """[W, EE] single int32 key ordering (alive, src, okey) with dead
+    rows last — replaces 2-key variadic sorts (TPU sorts price every
+    operand and comparator stage; one packed key halves both)."""
+    ok2 = jnp.where(e_okey >= BIG - 2,
+                    jnp.minimum(e_okey - (BIG - 2) + (_OKMAX - 1), _OKMAX),
+                    jnp.minimum(e_okey, _OKMAX - 2))
+    return jnp.where(e_alive, (e_src << _OKB) | ok2, NI << _OKB)
+
 
 def startbit(d):
     return d >> 1
@@ -74,8 +92,10 @@ def components(alive, e_src, e_dst, e_alive, rank, Cmax):
             jnp.where(ea, m, BIG))
         new = new.at[wid_e, jnp.where(ea, e_dst, 0)].min(
             jnp.where(ea, m, BIG))
-        # pointer jumping
-        for _ in range(2):
+        # pointer jumping (3 jumps/round ~ halves round count vs 2 for
+        # the ~600-mer pre-compress chains; each jump is one cheap
+        # [W, NI] gather while a round re-pays the edge relaxation)
+        for _ in range(3):
             new = jnp.minimum(
                 new, jnp.take_along_axis(new, jnp.clip(new, 0, NI - 1), 1))
         return new, jnp.any(new != label)
@@ -243,11 +263,12 @@ def wire_anchors(ends, N, Cmax, e_src, e_dst, e_dir, e_alive, e_okey,
 def edge_renorm(e_src, e_okey, e_alive, NI):
     """Dense per-source okey ranks (stable in current okey order)."""
     W, EE = e_src.shape
-    key1 = jnp.where(e_alive, e_src, BIG)
     eidx = jnp.broadcast_to(
         jnp.arange(EE, dtype=jnp.int32)[None], (W, EE))
-    k1, _, perm = jax.lax.sort((key1, e_okey, eidx), num_keys=2,
-                               dimension=1, is_stable=True)
+    packed = _pack_src_okey(e_src, e_okey, e_alive, NI)
+    k1, perm = jax.lax.sort((packed, eidx), num_keys=1,
+                            dimension=1, is_stable=True)
+    k1 = k1 >> _OKB  # src runs
     newrun = jnp.ones((W, EE), bool)
     newrun = newrun.at[:, 1:].set(k1[:, 1:] != k1[:, :-1])
     run_start = jax.lax.associative_scan(
@@ -599,11 +620,13 @@ def tandem_at(seqs, lens, pos, max_unit_len, min_report_units,
 def okey_adjacency(e_src, e_dst, e_dir, e_alive, e_okey, NI, D2):
     """[W, NI, D2] edge ids per source in edge-list (okey) order."""
     W, EE = e_src.shape
-    okey = edge_renorm(e_src, e_okey, e_alive, NI)
-    key1 = jnp.where(e_alive, e_src, BIG)
     eidx = jnp.broadcast_to(jnp.arange(EE, dtype=jnp.int32)[None], (W, EE))
-    k1, _, perm = jax.lax.sort((key1, okey, eidx), num_keys=2,
-                               dimension=1, is_stable=True)
+    # okey clamps cannot reorder within a source: real okeys < E <=
+    # 10240 < _OKMAX-2 and only the two anchor sentinels sit above
+    packed = _pack_src_okey(e_src, e_okey, e_alive, NI)
+    k1p, perm = jax.lax.sort((packed, eidx), num_keys=1,
+                             dimension=1, is_stable=True)
+    k1 = k1p >> _OKB
     newrun = jnp.ones((W, EE), bool)
     newrun = newrun.at[:, 1:].set(k1[:, 1:] != k1[:, :-1])
     run_start = jax.lax.associative_scan(
@@ -855,11 +878,14 @@ def compress_round(st, K, NI, N, Dcap=64):
     # mer-offset of each item within its new unitig: sort items by
     # (label, pos_u), run-prefix-sum merlen
     merlen = st["merlen"]
-    skey1 = jnp.where(alive, label, BIG)
     iidx = jnp.broadcast_to(jnp.arange(NI, dtype=jnp.int32)[None], (W, NI))
-    k1, k2, perm = jax.lax.sort(
-        (skey1, jnp.where(alive, pos_u, BIG), iidx), num_keys=2,
-        dimension=1, is_stable=False)
+    # single packed key (label, pos_u): label < NI <= 4112 and pos_u
+    # saturates at DCAP <= NI+8 < 8192, so label*8192+pos_u < 2^31
+    ipk = jnp.where(alive, (label << 13) | jnp.minimum(pos_u, 8191),
+                    NI << 13)
+    k1, perm = jax.lax.sort((ipk, iidx), num_keys=1, dimension=1,
+                            is_stable=False)
+    k1 = k1 >> 13
     ml_sorted = jnp.take_along_axis(merlen, perm, 1)
     csum_ml = jnp.cumsum(ml_sorted, axis=1)
     newrun = jnp.ones((W, NI), bool)
@@ -894,11 +920,13 @@ def compress_round(st, K, NI, N, Dcap=64):
     width = (khi2 - klo2).astype(jnp.int32)
     # per-member donor prefix in new coords: sort mers by (item, new_pos)
     NM = mer_item.shape[1]
-    mkey1 = jnp.where(is_member, mi, BIG)
     midx = jnp.broadcast_to(jnp.arange(NM, dtype=jnp.int32)[None], (W, NM))
-    mk1, _, mperm = jax.lax.sort(
-        (mkey1, jnp.where(is_member, new_pos, BIG), midx), num_keys=2,
-        dimension=1, is_stable=False)
+    # packed (item, new_pos): mi < NI <= 4112, new_pos < N <= 4096
+    mpk = jnp.where(is_member,
+                    (mi << 13) | jnp.minimum(new_pos, 8191), NI << 13)
+    mk1, mperm = jax.lax.sort((mpk, midx), num_keys=1, dimension=1,
+                              is_stable=False)
+    mk1 = mk1 >> 13
     wsort = jnp.take_along_axis(width, mperm, 1)
     cw = jnp.cumsum(wsort, axis=1)
     mnew = jnp.ones((W, NM), bool)

@@ -191,7 +191,40 @@ def main() -> int:
         def f_full(b, ranks):
             return pipeline.run_attempt(b, ranks, K, N, E, CM, cfg_s)
 
-        timed("run_attempt(FULL)", f_full, b, ranks)
+        st_f, res_f = timed("run_attempt(FULL)", f_full, b, ranks)
+
+        NI_f = N + 2 * CM
+        dfs_limit = int(os.environ.get("ATTEMPT_PROFILE_DFS", str(1 << 30)))
+
+        def f_paths(st_f, res_f):
+            return pipeline.path_cover(
+                st_f, res_f, K, N, NI_f, CM, res_f["ends"]["dist"],
+                dfs_limit, 500)
+
+        paths_f = timed("path_cover", f_paths, st_f, res_f)
+
+        def f_mat(st_f, b, paths_f, res_f, raw):
+            return pipeline.materialize_jobs(
+                st_f, b, paths_f, res_f, K, N, NI_f, CM, raw,
+                max_mismatch)
+
+        jobs_f = timed("materialize_jobs", f_mat, st_f, b, paths_f,
+                       res_f, raw)
+
+        def f_isrep(paths_f, st_f):
+            LP = 1728
+            W2, JMAX, _ = paths_f["sel_edges"].shape
+            seq = jnp.zeros((W2, JMAX, LP), jnp.int8)
+            return pipeline._is_almost_repeat_paths(
+                seq, jnp.full((W2, JMAX), 600, jnp.int32), K,
+                max_mismatch, LP)
+
+        timed("  (isrep alone, L=600)", f_isrep, paths_f, st_f)
+
+        def f_donor(st_f):
+            return pipeline._donor_tables(st_f, K, N, NI_f, 96, 1536)
+
+        timed("  (donor tables alone)", f_donor, st_f)
     return 0
 
 
