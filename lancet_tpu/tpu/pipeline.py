@@ -292,7 +292,7 @@ def run_attempt(b, ranks, K, N, E, Cmax, cfg_s, PC=192):
 
 
 def path_cover(st, res, K, N, NI, Cmax, reflens, dfs_limit, max_indel,
-               Q=512, POPMAX=1024, JMAX=12, PN=48, D2=24):
+               Q=512, POPMAX=1024, JMAX=8, PN=24, D2=24):
     """Best-new-edge path cover (ref: Graph.cc:1299-1501 bfs/eka) as a
     lockstep frontier loop. Per window, components are walked in order;
     each eka round re-runs the BFS with the live covered-edge set (later
@@ -543,7 +543,7 @@ def _donor_tables(st, K, N, NI, US, LU):
 
 
 def materialize_jobs(st, b, paths, res, K, N, NI, Cmax, raw, max_mismatch,
-                     LP=1728, US=96, LU=1536, PN=48):
+                     LP=1728, US=96, LU=1536, PN=24):
     """Selected paths -> job tensors: pathseq codes, covT/covN [LP,4],
     tumor_span [LP+1], needs_dp, is_rep (the find_repeats gate probes
     the same selection sequence; ref Graph.cc:686-730, util.cc:317-360),
@@ -563,10 +563,8 @@ def materialize_jobs(st, b, paths, res, K, N, NI, Cmax, raw, max_mismatch,
     nori = jnp.where(hvalid,
                      destbit(e_dir[wrow3, hsafe]).astype(jnp.int32), 0)
     nds = jnp.clip(nd, 0, NI - 1)
-    nspec = jnp.take_along_axis(
-        special[:, None, :].repeat(JMAX, 1), nds, 2) | ~hvalid
-    nml = jnp.take_along_axis(
-        merlen[:, None, :].repeat(JMAX, 1), nds, 2)
+    nspec = special[wrow3, nds] | ~hvalid
+    nml = merlen[wrow3, nds]
     Lh = jnp.where(nspec, 0, nml + K - 1)
     nonspec_rank = jnp.cumsum((~nspec).astype(jnp.int32), axis=2)
     first_ns = (~nspec) & (nonspec_rank == 1)
@@ -590,9 +588,7 @@ def materialize_jobs(st, b, paths, res, K, N, NI, Cmax, raw, max_mismatch,
     Lh_p = jnp.take_along_axis(Lh, hclip, 2)
     off = p - cumbefore + jnp.where(first_p, 0, K - 1)
     uidx = jnp.where(ori_p == 1, Lh_p - 1 - off, off)
-    slot_p = jnp.take_along_axis(
-        slot_of_item[:, None, :].repeat(JMAX, 1),
-        jnp.clip(nd_p, 0, NI - 1), 2)
+    slot_p = slot_of_item[wrow3, jnp.clip(nd_p, 0, NI - 1)]
     pvalid = (p < Lp[:, :, None]) & (slot_p >= 0)
     ls = jnp.clip(slot_p, 0, US - 1)
     lu = jnp.clip(uidx, 0, LU - 1)
@@ -624,8 +620,7 @@ def materialize_jobs(st, b, paths, res, K, N, NI, Cmax, raw, max_mismatch,
     # tumor_span [W, J, LP+1]: first node with hi >= pos; is_T per node
     n_t = st["n_t"]
     isT_item = (5 * n_t) > (4 * jnp.maximum(merlen, 1))  # frac > 0.8
-    isT = jnp.take_along_axis(
-        isT_item[:, None, :].repeat(JMAX, 1), nds, 2) & ~nspec
+    isT = isT_item[wrow3, nds] & ~nspec
     ps = jnp.arange(LP + 1, dtype=jnp.int32)[None, None, :]
     hspan = (cum[:, :, None, :] < ps[:, :, :, None]).sum(axis=3)
     span = jnp.take_along_axis(isT, jnp.clip(hspan, 0, PN - 1), 2)
@@ -640,8 +635,7 @@ def materialize_jobs(st, b, paths, res, K, N, NI, Cmax, raw, max_mismatch,
         ends["dist"], jnp.clip(comp_j - 1, 0, Cmax - 1), 1)
     trim5 = src_pos
     rp = jnp.clip(src_pos[:, :, None] + p, 0, raw.shape[1] - 1)
-    refch = jnp.take_along_axis(
-        raw[:, None, :].astype(jnp.int32).repeat(JMAX, 1), rp, 2)
+    refch = raw.astype(jnp.int32)[wrow3, rp]
     mis = ((refch != pathseq) & (p < dist[:, :, None])).sum(axis=2)
     needs_dp = (Lp != dist) | (mis > 5)
 

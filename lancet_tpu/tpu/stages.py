@@ -282,24 +282,21 @@ def edge_renorm(e_src, e_okey, e_alive, NI):
 def links(e_src, e_dst, e_dir, e_alive, e_okey, alive, special, NI):
     """Mutual-buddy chain links. Returns dict with per-(item, bit):
     lnk_valid [W,NI,2], lnk_to (dst item), lnk_bit (continuation bit),
-    tandem [W,NI], cnt [W,NI,2] (alive out-degree per direction),
-    bud_okey (okey of the unique edge)."""
+    tandem [W,NI], cnt [W,NI,2] (alive out-degree per direction)."""
     W, EE = e_src.shape
     wid_e = _wid(W, EE)
     sb = startbit(e_dir).astype(jnp.int32)
     seg = jnp.where(e_alive, e_src * 2 + sb, NI * 2)
     cnt = jnp.zeros((W, NI * 2 + 1), jnp.int32).at[wid_e, seg].add(
         jnp.where(e_alive, 1, 0))[:, :-1].reshape(W, NI, 2)
-    one_dst = jnp.full((W, NI * 2 + 1), BIG, jnp.int32).at[
-        wid_e, seg].min(jnp.where(e_alive, e_dst, BIG))[:, :-1]
-    one_db = jnp.full((W, NI * 2 + 1), BIG, jnp.int32).at[
-        wid_e, seg].min(jnp.where(e_alive, destbit(e_dir).astype(jnp.int32),
-                                  BIG))[:, :-1]
-    one_ok = jnp.full((W, NI * 2 + 1), BIG, jnp.int32).at[
-        wid_e, seg].min(jnp.where(e_alive, e_okey, BIG))[:, :-1]
-    one_dst = one_dst.reshape(W, NI, 2)
-    one_db = one_db.reshape(W, NI, 2)
-    one_ok = one_ok.reshape(W, NI, 2)
+    # (dst, destbit) ride ONE packed scatter-min: only cnt==1 segments
+    # are consumed, where the segment min IS the single edge's pair
+    pk = jnp.full((W, NI * 2 + 1), BIG, jnp.int32).at[
+        wid_e, seg].min(jnp.where(
+            e_alive, e_dst * 2 + destbit(e_dir).astype(jnp.int32),
+            BIG))[:, :-1]
+    one_dst = jnp.where(pk == BIG, BIG, pk >> 1).reshape(W, NI, 2)
+    one_db = jnp.where(pk == BIG, BIG, pk & 1).reshape(W, NI, 2)
     tandem = jnp.zeros((W, NI), bool).at[
         wid_e, jnp.where(e_alive & (e_src == e_dst), e_src, NI - 1)].max(
         e_alive & (e_src == e_dst))
@@ -330,7 +327,7 @@ def links(e_src, e_dst, e_dir, e_alive, e_okey, alive, special, NI):
     valid = base & back_uniq & (back_dst == idx)
     return {"lnk_valid": valid, "lnk_to": jnp.where(valid, v, idx),
             "lnk_bit": jnp.where(valid, b, 0), "tandem": tandem,
-            "cnt": cnt, "bud_okey": one_ok}
+            "cnt": cnt}
 
 
 def chain_jump(lnk, NI, rounds=None):
@@ -970,25 +967,25 @@ def compress_round(st, K, NI, N, Dcap=64):
                       Dcap * jnp.where(side_F, 1, 2) + e_okey, e_okey)
 
     # ---- item aggregate updates ---------------------------------------
+    # all 8 per-item aggregates ride ONE multi-lane scatter-add + ONE
+    # gather (separate scatters were ~1/3 of compress cost)
     lab = jnp.clip(label, 0, NI - 1)
     n_alive = alive & (s_item == idx)
-
-    def chain_sum(v):
-        acc = jnp.zeros((W, NI), v.dtype).at[
-            _wid(W, NI), jnp.where(alive, lab, NI - 1)].add(
-            jnp.where(alive, v, 0))
-        return jnp.take_along_axis(acc, lab, 1)
-
-    new_merlen = jnp.where(n_alive, chain_sum(merlen), 0)
     csum = st["csum"]
-    new_csum = jnp.stack(
-        [jnp.where(n_alive, chain_sum(csum[..., i]), 0) for i in range(4)],
-        axis=-1)
-    new_nt = jnp.where(n_alive, chain_sum(st["n_t"]), 0)
-    new_tum = jnp.where(n_alive, chain_sum(
-        st["is_tumor"].astype(jnp.int32)) > 0, False)
-    new_nrm = jnp.where(n_alive, chain_sum(
-        st["is_normal"].astype(jnp.int32)) > 0, False)
+    vals = jnp.concatenate(
+        [merlen[..., None], csum, st["n_t"][..., None],
+         st["is_tumor"].astype(jnp.int32)[..., None],
+         st["is_normal"].astype(jnp.int32)[..., None]], axis=-1)  # [W,NI,8]
+    acc = jnp.zeros((W, NI, 8), jnp.int32).at[
+        _wid(W, NI), jnp.where(alive, lab, NI - 1)].add(
+        jnp.where(alive[..., None], vals, 0))
+    summed = jnp.take_along_axis(
+        acc, jnp.broadcast_to(lab[..., None], (W, NI, 8)), 1)
+    new_merlen = jnp.where(n_alive, summed[..., 0], 0)
+    new_csum = jnp.where(n_alive[..., None], summed[..., 1:5], 0)
+    new_nt = jnp.where(n_alive, summed[..., 5], 0)
+    new_tum = jnp.where(n_alive, summed[..., 6] > 0, False)
+    new_nrm = jnp.where(n_alive, summed[..., 7] > 0, False)
 
     out = dict(st)
     out.update(
