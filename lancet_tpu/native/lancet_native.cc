@@ -1068,6 +1068,11 @@ static void* lgb_build_impl(
     std::vector<int32_t> cnt((size_t)n_nodes * 4, 0);
     std::vector<int32_t> hpcnt((size_t)n_nodes * 6, 0);
     std::vector<int32_t> asg_hp((size_t)n_nodes * 6, 0);
+    // per-(node, sample) dirty bit: set when hpcnt changes, cleared by
+    // an assignment. When clear, asg_hp == hpcnt for all 3 slots, so
+    // the compare-and-set sweep below is a provable no-op — most visits
+    // are repeat visits of known barcodes, so this skips the sweep.
+    std::vector<uint8_t> hp_dirty((size_t)n_nodes * 2, 0);
     for (int64_t i = 0; i < n_mers; ++i) {
       const int32_t r = vread[i];
       const int32_t sm = sample[r];
@@ -1091,12 +1096,15 @@ static void* lgb_build_impl(
         // add_hp runs whenever has_bx() is false -- including null bx,
         // so null-bx reads bump hp counts on every visit (oracle quirk)
         hpcnt[n * 6 + sIdx * 3 + h3] += 1;
+        hp_dirty[n * 2 + sIdx] = 1;
       }
       if (skip[i]) continue;  // mate-overlap dedup: no assignment
       // update_cov_distr(bx_cnt, qv, strand, sample): row assignment of
       // the visited strand's column
       out->lr_cov[n * 4 + sIdx * 2 + st] = cnt[n * 4 + sIdx * 2 + st];
       out->lr_hpseen[n] |= (uint8_t)(1 << sIdx);
+      if (!hp_dirty[n * 2 + sIdx]) continue;  // sweep would be a no-op
+      hp_dirty[n * 2 + sIdx] = 0;
       // update_hp_cov_distr: per-base minqv increments where the stored
       // (last-assigned) hp count is below the current one, then assign
       const int64_t o = starts[r] + vpos[i];
@@ -2388,17 +2396,21 @@ void* lgp_run_impl(
       // mutates the graph (graph.add_bx_table / ref.add_bx are
       // build-time only; variant-time lookups key by original K-mers)
       res->bxtab = std::make_shared<lgp::BxTables>();
+      res->bxtab->graph_t.reserve((size_t)n_nodes);
+      res->bxtab->graph_n.reserve((size_t)n_nodes);
       for (int64_t n = 0; n < n_nodes; ++n) {
         const bool inref = out->flags[n] & lgb::F_INREF;
         if (!out->bx_ids_t[n].empty()) {
           std::string mer((const char*)out->mers + n * K, K);
           if (inref) res->bxtab->ref_t[mer] = out->bx_ids_t[n];
-          res->bxtab->graph_t[std::move(mer)] = out->bx_ids_t[n];
+          res->bxtab->graph_t[std::move(mer)] =
+              std::move(out->bx_ids_t[n]);  // out is freed below
         }
         if (!out->bx_ids_n[n].empty()) {
           std::string mer((const char*)out->mers + n * K, K);
           if (inref) res->bxtab->ref_n[mer] = out->bx_ids_n[n];
-          res->bxtab->graph_n[std::move(mer)] = out->bx_ids_n[n];
+          res->bxtab->graph_n[std::move(mer)] =
+              std::move(out->bx_ids_n[n]);
         }
       }
     }
