@@ -1083,6 +1083,8 @@ static void* lgb_build_impl(
       const int32_t b = bx[r];
       const int h3 = hp[r] >= 0 && hp[r] <= 2 ? hp[r] : 0;
       // node.has_bx(bx, sample): null bx is never in the sets
+      // (linear scan measured faster than a hash set here: per-node
+      // barcode lists stay short and the scan is cache-resident)
       auto& ids = (sIdx == 0) ? out->bx_ids_t[n] : out->bx_ids_n[n];
       bool have = false;
       if (b >= 0)
