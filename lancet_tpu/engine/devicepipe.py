@@ -507,12 +507,15 @@ def _assemble(b, ranks, K, N, E, Nc, Ec, raw, cfg_s, dfs_limit,
                                           b["nid_proj"], -1)
             st, res = pipeline.run_attempt(b, ranks, K, Nc, Ec, _CMAX,
                                            cfg_s)
-            NI = Nc + 2 * _CMAX
+            # run_attempt returns the COMPACT post-cleanup state:
+            # regular items in [0, NCR), anchors at NCR+2c / NCR+2c+1
+            NCR = pipeline.NCR_DEFAULT
+            NIc = NCR + 2 * _CMAX
             paths = pipeline.path_cover(
-                st, res, K, Nc, NI, _CMAX, res["ends"]["dist"], dfs_limit,
-                max_indel)
+                st, res, K, NCR, NIc, _CMAX, res["ends"]["dist"],
+                dfs_limit, max_indel)
             jobs = pipeline.materialize_jobs(
-                st, b, paths, res, K, Nc, NI, _CMAX, raw, max_mismatch)
+                st, b, paths, res, K, Nc, NIc, _CMAX, raw, max_mismatch)
             out = dict(jobs)
             out["cyc1"] = res["cyc1"]
             out["cyc2"] = res["cyc2"]

@@ -24,6 +24,11 @@ import jax.numpy as jnp
 from . import stages
 from .stages import BIG, _wid, destbit, fliplink, startbit
 
+# compact-state caps (stages.compact_state): regular items / edges the
+# post-compress graph may hold before the lane replays natively
+NCR_DEFAULT = 512
+ECR_DEFAULT = 1536
+
 
 def _extend_items(b, ranks, W, N, Cmax, K):
     """jit1 node tables -> item/edge/mer state dict (item axis NI)."""
@@ -226,11 +231,16 @@ def cleanup(st, K, N, NI, cfg_s, avgcov, U=256, D2=24, TIP_ROUNDS=6,
     return st, fallback
 
 
-def run_attempt(b, ranks, K, N, E, Cmax, cfg_s, PC=192):
+def run_attempt(b, ranks, K, N, E, Cmax, cfg_s, PC=192, NCR=NCR_DEFAULT,
+                ECR=ECR_DEFAULT):
     """One k attempt past the build: components through cycle gate #2.
 
     b = build_k outputs (device); ranks [W, N] host map-order ranks.
-    Returns (st, res) where res carries per-comp flags and anchor data.
+    Returns (st, res): st is the COMPACT post-cleanup state (item axis
+    NCR + 2*Cmax, anchors at slots NCR+2c/NCR+2c+1 — pass N=NCR to
+    path_cover / the cycle helpers), res carries per-comp flags and
+    anchor data. Lanes whose post-compress survivor counts exceed the
+    compact caps are folded into res["fallback"] (native replay).
     """
     W = b["alive"].shape[0]
     st, NI = _extend_items(b, ranks, W, N, Cmax, K)
@@ -264,28 +274,34 @@ def run_attempt(b, ranks, K, N, E, Cmax, cfg_s, PC=192):
     # flag. That compressed state IS cleanup's compress #1 (identical
     # pure call), so it is computed once and passed along.
     st_c1, fb_c1 = stages.compress_round(dict(st), K, NI, N)
+    # compact the survivors: every stage past compress #1 runs at
+    # [W, NCR+2*Cmax]-sized item / [W, ECR+4*Cmax]-sized edge axes
+    # (the round-5 profile put the wall in per-op overhead on the full
+    # [W, ~3.5k] shapes; post-compress graphs hold tens of unitigs)
+    st_cp, over_cp = stages.compact_state(st_c1, N, NI, Cmax, NCR, ECR)
+    NIc = NCR + 2 * Cmax
     scr1 = stages.cycle_screen(
-        st_c1["e_src"], st_c1["e_dst"], st_c1["e_dir"],
-        st_c1["e_alive"], st_c1["alive"], st_c1["special"],
-        st_c1["comp"], N, NI, Cmax) | fb_c1[:, None]
+        st_cp["e_src"], st_cp["e_dst"], st_cp["e_dir"],
+        st_cp["e_alive"], st_cp["alive"], st_cp["special"],
+        st_cp["comp"], NCR, NIc, Cmax) | (fb_c1 | over_cp)[:, None]
     cyc1, over_p1 = stages.has_cycle_seq(
         st["e_src"], st["e_dst"], st["e_dir"], st["e_alive"],
         st["e_okey"], st["alive"], st["special"], N, NI, Cmax,
         lane_mask=scr1)
 
     avgcov = b["avgcov"]
-    st, fb_clean = cleanup(st_c1, K, N, NI, cfg_s, avgcov, pre_fb=fb_c1)
+    st, fb_clean = cleanup(st_cp, K, N, NIc, cfg_s, avgcov, pre_fb=fb_c1)
 
     scr2 = stages.cycle_screen(
         st["e_src"], st["e_dst"], st["e_dir"], st["e_alive"],
-        st["alive"], st["special"], st["comp"], N, NI, Cmax)
+        st["alive"], st["special"], st["comp"], NCR, NIc, Cmax)
     cyc2, over_p2 = stages.has_cycle_seq(
         st["e_src"], st["e_dst"], st["e_dir"], st["e_alive"],
-        st["e_okey"], st["alive"], st["special"], N, NI, Cmax, D2=24,
+        st["e_okey"], st["alive"], st["special"], NCR, NIc, Cmax, D2=24,
         lane_mask=scr2)
 
     fallback = (b["fallback"] | over_c | over_p1 | over_p2 | fb_clean
-                | same_anchor)
+                | over_cp | same_anchor)
     res = dict(cyc1=cyc1, cyc2=cyc2, ends=ends, numcomp=numcomp,
                fallback=fallback)
     return st, res

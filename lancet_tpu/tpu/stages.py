@@ -403,6 +403,116 @@ def item_mincovs(st, K, N, NI):
     return mincov, mincov_qv
 
 
+def compact_state(st, N, NI, Cmax, NCR, ECR):
+    """Gather the post-compress survivors into a compact item/edge space.
+
+    After compress #1 the graph has tens of live unitigs, but every
+    later stage still paid gathers/scatters/sorts over the full
+    [W, NI ~ 3.5k] axes — per-op overhead on those shapes was the
+    measured devgraph wall (DESIGN.md round-5 profile). Regular items
+    are packed (in item-id order) into slots [0, NCR); the fake
+    source/sink anchors move to FIXED slots NCR+2c / NCR+2c+1 so the
+    static anchor-slot arithmetic in the cycle gates and path cover
+    keeps working with N=NCR. Edges pack into ECR rows. mer_item is
+    remapped through the survivor map; mers of dead items get an empty
+    donor interval (dead items never revive). Lanes whose live counts
+    exceed the compact caps are flagged `over` and replay natively.
+
+    Returns (compact_st, over [W]). Item axis NC = NCR + 2*Cmax; edge
+    axis EC = ECR + 4*Cmax (anchor wiring rows live anywhere in the
+    pack — only okey VALUES order them)."""
+    W = st["alive"].shape[0]
+    NC = NCR + 2 * Cmax
+    EC = ECR + 4 * Cmax
+    alive, special = st["alive"], st["special"]
+    idx = jnp.broadcast_to(jnp.arange(NI, dtype=jnp.int32)[None], (W, NI))
+
+    # --- old -> new item map -------------------------------------------
+    reg = alive & ~special
+    # pack regular items in id order: new slot = rank among regular alive
+    pos = jnp.cumsum(reg.astype(jnp.int32), axis=1) - 1
+    n_reg = reg.sum(axis=1)
+    over = n_reg > NCR
+    new_of = jnp.full((W, NI), -1, jnp.int32)
+    new_of = jnp.where(reg, jnp.minimum(pos, NCR - 1), new_of)
+    # anchors at fixed compact slots (alive or not)
+    for c in range(Cmax):
+        for j in range(2):
+            new_of = new_of.at[:, N + 2 * c + j].set(NCR + 2 * c + j)
+
+    # inverse: compact slot -> old item (dead slots -> NI sentinel);
+    # non-regular rows scatter out of range (dropped) so they can never
+    # collide with a real slot's write
+    old_of = jnp.full((W, NC), NI, jnp.int32)
+    old_of = old_of.at[
+        _wid(W, NI), jnp.where(reg & (pos < NCR), pos, NC)].set(
+        idx, mode="drop")
+    # anchor slots (unconditional copies)
+    for c in range(Cmax):
+        for j in range(2):
+            old_of = old_of.at[:, NCR + 2 * c + j].set(N + 2 * c + j)
+
+    def g_item(a, fill):
+        safe = jnp.clip(old_of, 0, NI - 1)
+        v = jnp.take_along_axis(a, safe, 1)
+        return jnp.where(old_of < NI, v, fill)
+
+    out = dict(st)
+    out["alive"] = g_item(alive, False)
+    out["special"] = g_item(special, False)
+    out["rank"] = g_item(st["rank"], BIG)
+    out["merlen"] = g_item(st["merlen"], 0)
+    out["n_t"] = g_item(st["n_t"], 0)
+    out["is_tumor"] = g_item(st["is_tumor"], False)
+    out["is_normal"] = g_item(st["is_normal"], False)
+    if "comp" in st:
+        out["comp"] = g_item(st["comp"], 0)
+    safe3 = jnp.clip(old_of, 0, NI - 1)[:, :, None]
+    csum_g = jnp.take_along_axis(
+        st["csum"], jnp.broadcast_to(safe3, (W, NC, 4)), 1)
+    out["csum"] = jnp.where((old_of < NI)[:, :, None], csum_g, 0)
+
+    # --- edges ----------------------------------------------------------
+    ea = st["e_alive"]
+    epos = jnp.cumsum(ea.astype(jnp.int32), axis=1) - 1
+    n_e = ea.sum(axis=1)
+    over = over | (n_e > EC)
+    EEo = ea.shape[1]
+    eold_of = jnp.full((W, EC), EEo, jnp.int32)
+    eidx = jnp.broadcast_to(jnp.arange(EEo, dtype=jnp.int32)[None], (W, EEo))
+    eold_of = eold_of.at[
+        _wid(W, EEo), jnp.where(ea & (epos < EC), epos, EC)].set(
+        eidx, mode="drop")
+
+    def g_edge(a, fill):
+        safe = jnp.clip(eold_of, 0, EEo - 1)
+        v = jnp.take_along_axis(a, safe, 1)
+        return jnp.where(eold_of < EEo, v, fill)
+
+    e_src_o = g_edge(st["e_src"], 0)
+    e_dst_o = g_edge(st["e_dst"], 0)
+    e_alive_c = eold_of < EEo
+    # remap endpoints through new_of; an alive edge touching a dropped
+    # item (pos >= NCR overflow) keeps -1 -> clip + lane already `over`
+    ns = jnp.take_along_axis(new_of, jnp.clip(e_src_o, 0, NI - 1), 1)
+    nd = jnp.take_along_axis(new_of, jnp.clip(e_dst_o, 0, NI - 1), 1)
+    over = over | (e_alive_c & ((ns < 0) | (nd < 0))).any(axis=1)
+    out["e_src"] = jnp.where(e_alive_c, jnp.clip(ns, 0, NC - 1), 0)
+    out["e_dst"] = jnp.where(e_alive_c, jnp.clip(nd, 0, NC - 1), 0)
+    out["e_dir"] = g_edge(st["e_dir"], 0)
+    out["e_alive"] = e_alive_c
+    out["e_okey"] = g_edge(st["e_okey"], BIG)
+
+    # --- mers -----------------------------------------------------------
+    mi = jnp.clip(st["mer_item"], 0, NI - 1)
+    nm = jnp.take_along_axis(new_of, mi, 1)
+    dead_mer = nm < 0
+    out["mer_item"] = jnp.where(dead_mer, NCR, nm)  # anchor slot: inert
+    out["keep_lo"] = st["keep_lo"]
+    out["keep_hi"] = jnp.where(dead_mer, st["keep_lo"], st["keep_hi"])
+    return out, over
+
+
 def remove_items(st, removed):
     """Kill items + every edge touching them (remove_node semantics)."""
     e_src, e_dst = st["e_src"], st["e_dst"]

@@ -193,12 +193,13 @@ def main() -> int:
 
         st_f, res_f = timed("run_attempt(FULL)", f_full, b, ranks)
 
-        NI_f = N + 2 * CM
+        NCRp = pipeline.NCR_DEFAULT
+        NI_f = NCRp + 2 * CM  # run_attempt returns the compact state
         dfs_limit = int(os.environ.get("ATTEMPT_PROFILE_DFS", str(1 << 30)))
 
         def f_paths(st_f, res_f):
             return pipeline.path_cover(
-                st_f, res_f, K, N, NI_f, CM, res_f["ends"]["dist"],
+                st_f, res_f, K, NCRp, NI_f, CM, res_f["ends"]["dist"],
                 dfs_limit, 500)
 
         paths_f = timed("path_cover", f_paths, st_f, res_f)

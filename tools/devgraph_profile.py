@@ -64,13 +64,14 @@ def main() -> int:
 
         ranks = jnp.asarray(ranks)
         raw_j = jnp.asarray(raw)
-        NI = N + 2 * CM
+        NCRp = pipeline.NCR_DEFAULT
+        NI = NCRp + 2 * CM  # run_attempt returns the compact state
 
         s1 = jax.jit(lambda b, r: pipeline.run_attempt(
             b, r, K, N, E, CM, cfg_s))
         st, res = s1(b, ranks)
         s2 = jax.jit(lambda st, res: pipeline.path_cover(
-            st, res, K, N, NI, CM, res["ends"]["dist"], dfs_limit,
+            st, res, K, NCRp, NI, CM, res["ends"]["dist"], dfs_limit,
             max_indel))
         paths = s2(st, res)
         s3 = jax.jit(lambda st, b, paths, res, raw_j: pipeline.
