@@ -544,18 +544,14 @@ def _donor_tables(st, K, N, NI, US, LU):
         _wid(W, NM), jnp.where(wr, mslot, US),
         jnp.clip(start, 0, LU - 1)].set(jnp.where(wr, rec, -1),
                                         mode="drop")
-    # last-valid forward fill (associative: picks the rightmost valid)
+    # last-valid forward fill (associative: picks the rightmost valid).
+    # Returned PACKED — materialize gathers the one packed table and
+    # unpacks (mer id = >>13, flip = bit 12, pos = low 12 bits - 8);
+    # three separate gathers of [W, J, LP] from [W, US, LU] were the
+    # cost, not the unpack arithmetic.
     filled = jax.lax.associative_scan(
         lambda a, b: jnp.where(b >= 0, b, a), starts, axis=2)
-    dm = jnp.where(filled >= 0, filled >> 13, -1)
-    dflip = ((filled >> 12) & 1) == 1
-    dpos = (filled & 0xFFF) - 8
-    p = jnp.arange(LU, dtype=jnp.int32)[None, None, :]
-    j = p - dpos  # in-mer donor offset
-    donor_ci = jnp.where(dflip, K - 1 - j, j)
-    donor_mer = dm
-    donor_flip = dflip & (dm >= 0)
-    return donor_mer, donor_ci, donor_flip, slot_of_item, over | over_lu
+    return filled, slot_of_item, over | over_lu
 
 
 def materialize_jobs(st, b, paths, res, K, N, NI, Cmax, raw, max_mismatch,
@@ -565,7 +561,7 @@ def materialize_jobs(st, b, paths, res, K, N, NI, Cmax, raw, max_mismatch,
     the same selection sequence; ref Graph.cc:686-730, util.cc:317-360),
     per-path comp and the comp's trim data."""
     W, JMAX, _ = paths["sel_edges"].shape
-    donor_mer, donor_ci, donor_flip, slot_of_item, over_dt = _donor_tables(
+    donor_packed, slot_of_item, over_dt = _donor_tables(
         st, K, N, NI, US, LU)
     fallback = paths["fallback"] | over_dt
 
@@ -608,30 +604,29 @@ def materialize_jobs(st, b, paths, res, K, N, NI, Cmax, raw, max_mismatch,
     pvalid = (p < Lp[:, :, None]) & (slot_p >= 0)
     ls = jnp.clip(slot_p, 0, US - 1)
     lu = jnp.clip(uidx, 0, LU - 1)
-    dm = donor_mer[wrow3, ls, lu]
-    dci = donor_ci[wrow3, ls, lu]
-    dfl = donor_flip[wrow3, ls, lu]
+    # ONE gather of the packed donor record, then unpack (the three
+    # separate [W, J, LP] table gathers were the cost, not arithmetic)
+    fp = donor_packed[wrow3, ls, lu]
+    dm = jnp.where(fp >= 0, fp >> 13, -1)
+    dfl = ((fp >> 12) & 1) == 1
+    dpos = (fp & 0xFFF) - 8
+    dci = jnp.where(dfl, K - 1 - (lu - dpos), lu - dpos)
     dm_ok = pvalid & (dm >= 0)
     dms = jnp.clip(dm, 0, N - 1)
     dcis = jnp.clip(dci, 0, K - 1)
-    base = b["mer_base"] if "mer_base" in b else None
     mb = st["mer_base"]  # [W, N, K]
     ch = mb[wrow3, dms, dcis].astype(jnp.int32)
-    comp_flip = dfl ^ (ori_p == 1)
+    comp_flip = (dfl & (dm >= 0)) ^ (ori_p == 1)
     pathseq = jnp.where(dm_ok, jnp.where(comp_flip, ch ^ 3, ch), 4)
-    counts = st["csum_mer"] if "csum_mer" in st else None
+    # cnt/mq gathered once with all 4 class lanes riding the minor axis
     cnt = b["counts"]  # [W, N, 4] per-mer counts
     mq = b["mq"].astype(jnp.int32)  # [W, N, K, 4]
-    covT = jnp.stack([
-        jnp.where(dm_ok, cnt[wrow3, dms, 0], 0),
-        jnp.where(dm_ok, cnt[wrow3, dms, 1], 0),
-        jnp.where(dm_ok, mq[wrow3, dms, dcis, 0], 0),
-        jnp.where(dm_ok, mq[wrow3, dms, dcis, 1], 0)], axis=-1)
-    covN = jnp.stack([
-        jnp.where(dm_ok, cnt[wrow3, dms, 2], 0),
-        jnp.where(dm_ok, cnt[wrow3, dms, 3], 0),
-        jnp.where(dm_ok, mq[wrow3, dms, dcis, 2], 0),
-        jnp.where(dm_ok, mq[wrow3, dms, dcis, 3], 0)], axis=-1)
+    cnt_g = jnp.where(dm_ok[..., None], cnt[wrow3, dms], 0)  # [W,J,LP,4]
+    mq_g = jnp.where(dm_ok[..., None], mq[wrow3, dms, dcis], 0)
+    covT = jnp.stack([cnt_g[..., 0], cnt_g[..., 1],
+                      mq_g[..., 0], mq_g[..., 1]], axis=-1)
+    covN = jnp.stack([cnt_g[..., 2], cnt_g[..., 3],
+                      mq_g[..., 2], mq_g[..., 3]], axis=-1)
 
     # tumor_span [W, J, LP+1]: first node with hi >= pos; is_T per node
     n_t = st["n_t"]
