@@ -589,8 +589,21 @@ def materialize_jobs(st, b, paths, res, K, N, NI, Cmax, raw, max_mismatch,
 
     # per-position node lookup
     p = jnp.arange(LP, dtype=jnp.int32)[None, None, :]
-    # h(p) = first hop with cum > p
-    hidx = (cum[:, :, None, :] <= p[:, :, :, None]).sum(axis=3)  # [W,J,LP]
+    # hidx[p] = #hops with cum <= p == max(h+1 : cum[h] <= p): scatter
+    # (h+1) at position cum[h] (ties -> max wins, matching the count of
+    # a sorted list) and forward-fill with a running max — replaces the
+    # [W, J, LP, PN] compare-reduce with one scatter + one scan
+    hop1 = jnp.broadcast_to(
+        jnp.arange(1, PN + 1, dtype=jnp.int32)[None, None, :],
+        (W, JMAX, PN))
+    wid3 = jnp.broadcast_to(
+        jnp.arange(W, dtype=jnp.int32)[:, None, None], (W, JMAX, PN))
+    jid3 = jnp.broadcast_to(
+        jnp.arange(JMAX, dtype=jnp.int32)[None, :, None], (W, JMAX, PN))
+    hseed = jnp.zeros((W, JMAX, LP), jnp.int32).at[
+        wid3, jid3, jnp.where(cum < LP, cum, LP)].max(
+        hop1, mode="drop")
+    hidx = jax.lax.associative_scan(jnp.maximum, hseed, axis=2)
     hclip = jnp.clip(hidx, 0, PN - 1)
     cumbefore = jnp.where(hidx > 0, jnp.take_along_axis(
         cum, jnp.clip(hidx - 1, 0, PN - 1), 2), 0)
@@ -632,8 +645,10 @@ def materialize_jobs(st, b, paths, res, K, N, NI, Cmax, raw, max_mismatch,
     n_t = st["n_t"]
     isT_item = (5 * n_t) > (4 * jnp.maximum(merlen, 1))  # frac > 0.8
     isT = isT_item[wrow3, nds] & ~nspec
+    # hspan[p] = #hops with cum < p == hidx[p-1] (hspan[0] = 0)
     ps = jnp.arange(LP + 1, dtype=jnp.int32)[None, None, :]
-    hspan = (cum[:, :, None, :] < ps[:, :, :, None]).sum(axis=3)
+    hspan = jnp.concatenate(
+        [jnp.zeros((W, JMAX, 1), jnp.int32), hidx], axis=2)
     span = jnp.take_along_axis(isT, jnp.clip(hspan, 0, PN - 1), 2)
     span = span & (hspan < PN) & (ps <= Lp[:, :, None])
 
